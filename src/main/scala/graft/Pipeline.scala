@@ -2,79 +2,164 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Mention
-import graft.fixtures.{Corpus, Gazetteer}
-import graft.ner.TrieNer
+import org.apache.spark.sql.expressions.Window
+import graft.core.{EntityRecord, InputDoc, SpanOps}
+import graft.fixtures.Corpus
+import graft.kb.Registry
+import graft.link.Linker
+import graft.merge.MergeAnnsets
+import graft.ner.{RegexNer, TrieNer}
+import graft.cluster.NilCluster
 
 /** End-to-end KB-population pipeline (north rule): interleaved spans ->
-  * mention detection -> linking -> triples. Round-1 slice: gazetteer NER +
-  * dictionary linking; embedding rerank / NIL clustering / KB merge are
-  * layered on in later stages (see SURVEY.md §7).
+  * sectioning/NER -> annotation-set merge -> candidate linking -> NIL
+  * clustering -> new-entity assignment -> (subj, pred, obj) triples.
+  *
+  * The reference runs this as 11 HTTP hops per document
+  * (pipelinehelper/main.py:49-133); here it is ONE declarative plan with
+  * exactly these wide boundaries: merge sweep (shuffle by doc), candidate
+  * join (broadcast), top-k window (shuffle by mention), CC iterations
+  * (bounded shuffles), final aggregates. Everything else is narrow.
   */
 object Pipeline {
 
-  /** Detected mentions over the sf-derived interleaved corpus. */
-  def mentions(spark: SparkSession, dir: String): Dataset[Mention] =
-    TrieNer.mentions(spark, Corpus.inputDocs(spark, dir))
+  final case class Result(
+      linked: DataFrame,        // one row per merged mention w/ link decision
+      clusters: DataFrame,      // NIL cluster records (with assigned nil_id)
+      newEntities: DataFrame,   // EntityRecord-shaped rows for KB merge
+      triples: DataFrame)       // (doc_id, subj, pred, obj)
 
-  /** Dictionary linking for the round-1 slice: single-candidate mentions
-    * link directly (reference skip rule, trie-ner/TrieNER.py:79-81);
-    * ambiguous mentions resolve to the smallest candidate id
-    * (deterministic placeholder until embedding rerank lands).
-    * URL synthesis follows P9 (`TRIE{id}`, reference TrieNER.py:82-83).
-    */
-  def linked(spark: SparkSession, dir: String): DataFrame = {
+  def docText(spark: SparkSession, docs: Dataset[InputDoc]): DataFrame = {
     import spark.implicits._
-    val bcPat = spark.sparkContext.broadcast(Gazetteer.patterns)
-    val bcById = spark.sparkContext.broadcast(Gazetteer.byId)
-    mentions(spark, dir).map { m =>
-      val eid =
-        if (m.gazetteer_id >= 0) m.gazetteer_id
-        else {
-          val pat = TrieNer.clean(m.mention).split(" +").mkString(" ")
-          bcPat.value.get(pat).map(_.min).getOrElse(-1L)
-        }
-      val ent = bcById.value.get(eid)
-      (m.doc_id, m.ann_id, m.start, m.end, m.mention, eid,
-        ent.map(_.name).getOrElse(""), ent.map(_.etype).getOrElse(""),
-        s"TRIE$eid")
-    }.toDF("doc_id", "ann_id", "start", "end", "mention",
-      "entity_id", "title", "entity_type", "url")
+    docs.map(d => (d.doc_id, SpanOps.assemble(d.spans))).toDF("doc_id", "text")
   }
 
-  /** Emitted (subj, pred, obj) triples — deterministic rule extraction:
-    *  - (doc:<id>, :mentions, ent:<title>) per linked mention (distinct)
-    *  - (ent:<title>, :typedAs, <type>) per linked mention (distinct)
-    *  - (ent:<a>, :coOccursWith, ent:<b>) for adjacent linked mentions of
-    *    distinct entities within a doc, a < b canonical order.
-    */
-  def triples(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val l = linked(spark, dir).filter(col("entity_id") >= 0).cache()
+  def mediaSpans(spark: SparkSession, docs: Dataset[InputDoc]): DataFrame = {
+    import spark.implicits._
+    docs.flatMap(d => d.spans.filter(_.kind == "media")
+      .map(s => (d.doc_id, s.media_ref, s.offset)))
+      .toDF("doc_id", "media_ref", "offset")
+  }
 
-    val mentionsT = l.select(
+  /** Run the full pipeline over an input-doc dataset against a registry
+    * snapshot. Pure function of (docs, registry) — the incremental loop
+    * feeds back the grown registry (see [[Incremental]]).
+    */
+  def run(spark: SparkSession, docs: Dataset[InputDoc], registry: DataFrame): Result = {
+    val text = docText(spark, docs).cache()
+
+    val trie = TrieNer.mentions(spark, docs)
+    val regex = RegexNer.mentions(spark, docs)
+    val merged = MergeAnnsets.merge(spark, Seq(trie, regex))
+
+    // localCheckpoint truncates the lineage: the triple-rule union
+    // references this frame 5x and planning cost explodes otherwise.
+    val linked = Linker.link(spark, merged, text, registry).localCheckpoint(true)
+
+    val nil = linked.filter(col("is_nil") &&
+      // DATE-skip mentions never cluster (reference P3/P7 interplay)
+      col("mention_type") =!= "DATE")
+    val (assignRaw, clustersRaw) = NilCluster.cluster(spark, nil)
+
+    // Deterministic contiguous new-entity ids (W7, reference
+    // indexer/main.py:408-411): base = max registry id.
+    val base = registry.agg(max(col("id"))).collect()(0).getLong(0)
+    val wId = Window.orderBy(col("cluster_key"))
+    val clusters = clustersRaw
+      .withColumn("nil_id", lit(base) + row_number().over(wId))
+      .localCheckpoint(true)
+
+    val assignments = assignRaw.join(
+      clusters.select("cluster_key", "nil_id", "title", "cluster_type"),
+      Seq("cluster_key"))
+
+    val newEntities = clusters.select(
+      col("nil_id").as("id"),
+      lit(Registry.RwIndexer).as("indexer"),
+      lit(-1L).as("wikipedia_id"),
+      lit(-1L).as("wikidata_qid"),
+      lit(-1L).as("redirects_to"),
+      substring(col("title"), 1, 100).as("title"), // F18 truncation
+      concat(lit("NIL cluster "), col("cluster_key")).as("descr"),
+      col("cluster_type").as("type_"),
+      col("center").as("emb"))
+
+    // resolved display name per mention: ent:<title> or nil:<title>
+    val nilNames = assignments.select(
+      col("doc_id"), col("annset"), col("ann_id"),
+      concat(lit("nil:"), col("title")).as("nil_name"),
+      col("nil_id"), col("cluster_type"))
+    val resolved = linked
+      .join(nilNames, Seq("doc_id", "annset", "ann_id"), "left")
+      .withColumn("name",
+        when(col("nil_name").isNotNull, col("nil_name"))
+          .when(col("entity_id") >= 0, concat(lit("ent:"), col("title")))
+          .otherwise(lit(null)))
+      .withColumn("rtype",
+        when(col("nil_name").isNotNull, col("cluster_type"))
+          .otherwise(col("entity_type")))
+      .filter(col("name").isNotNull)
+      .localCheckpoint(true)
+
+    val mentionsT = resolved.select(
       col("doc_id"),
       concat(lit("doc:"), col("doc_id")).as("subj"),
       lit(":mentions").as("pred"),
-      concat(lit("ent:"), col("title")).as("obj")).distinct()
+      col("name").as("obj")).distinct()
 
-    val typedT = l.select(
+    val typedT = resolved.select(
       col("doc_id"),
-      concat(lit("ent:"), col("title")).as("subj"),
+      col("name").as("subj"),
       lit(":typedAs").as("pred"),
-      col("entity_type").as("obj")).distinct()
+      col("rtype").as("obj")).distinct()
 
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val coT = l
-      .withColumn("next_title", lead(col("title"), 1).over(w))
-      .filter(col("next_title").isNotNull && col("next_title") =!= col("title"))
+    val sameAsT = nilNames.select(
+      col("doc_id"),
+      col("nil_name").as("subj"),
+      lit(":sameAsCluster").as("pred"),
+      concat(lit("NIL"), col("nil_id")).as("obj")).distinct()
+
+    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val coT = resolved
+      .withColumn("next_name", lead(col("name"), 1).over(wAdj))
+      .filter(col("next_name").isNotNull && col("next_name") =!= col("name"))
       .select(
         col("doc_id"),
-        concat(lit("ent:"), least(col("title"), col("next_title"))).as("subj"),
+        least(col("name"), col("next_name")).as("subj"),
         lit(":coOccursWith").as("pred"),
-        concat(lit("ent:"), greatest(col("title"), col("next_title"))).as("obj"))
+        greatest(col("name"), col("next_name")).as("obj"))
       .distinct()
 
-    mentionsT.unionByName(typedT).unionByName(coT)
+    val mediaT = mediaSpans(spark, docs).select(
+      col("doc_id"),
+      concat(lit("doc:"), col("doc_id")).as("subj"),
+      lit(":hasMedia").as("pred"),
+      col("media_ref").as("obj"))
+
+    val triples = mentionsT.unionByName(typedT).unionByName(sameAsT)
+      .unionByName(coT).unionByName(mediaT)
+
+    Result(resolved, clusters, newEntities, triples)
+  }
+
+  // ---- convenience entry points over the sf-derived corpus ------------
+
+  def mentions(spark: SparkSession, dir: String) =
+    TrieNer.mentions(spark, Corpus.inputDocs(spark, dir))
+
+  def merged(spark: SparkSession, dir: String) = {
+    val docs = Corpus.inputDocs(spark, dir)
+    MergeAnnsets.merge(spark,
+      Seq(TrieNer.mentions(spark, docs), RegexNer.mentions(spark, docs)))
+  }
+
+  def linked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.inputDocs(spark, dir)
+    run(spark, docs, Registry.seed(spark).toDF()).linked
+  }
+
+  def triples(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.inputDocs(spark, dir)
+    run(spark, docs, Registry.seed(spark).toDF()).triples
   }
 }

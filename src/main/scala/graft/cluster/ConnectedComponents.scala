@@ -1,0 +1,62 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DataFrame connected components with deterministic component ids —
+  * the "GraphFrames-style iterative DataFrame joins" the north rule
+  * demands (no GraphFrames jar in the sandbox; no RDD use).
+  *
+  * Algorithm: iterated min-label propagation with path compression.
+  * Each vertex holds a label (initially itself, labels are orderable
+  * strings/longs); every round each vertex takes the min label among
+  * itself and its neighbors' labels; converges in O(diameter) rounds,
+  * with a pointer-jumping round (label -> label-of-label) to compress
+  * chains, bounding rounds at O(log n) for path graphs in practice.
+  * Deterministic: min() is order-independent, so the result does not
+  * depend on partitioning or scheduling (property-tested).
+  *
+  * Inputs: edges(src, dst) — undirected, self-loops/dups tolerated;
+  * vertices(id) — superset of edge endpoints (isolated vertices become
+  * singleton components). Output: (id, component) with component = min
+  * id in the component.
+  */
+object ConnectedComponents {
+
+  def run(spark: SparkSession, vertices: DataFrame, edges: DataFrame,
+          maxIter: Int = 25): DataFrame = {
+    val v = vertices.select(col("id")).distinct()
+    // symmetrize once; keep only id-typed columns
+    val e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+
+    var labels = v.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // neighbor min: for each dst, min over src labels
+      val nbrMin = e.join(labels, e("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val updated = labels.join(nbrMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer jumping: comp <- label(comp)
+      val compLabels = updated.select(col("id").as("cid"), col("comp").as("ccomp"))
+      // localCheckpoint truncates lineage: without it the plan doubles
+      // every iteration and the optimizer itself becomes the bottleneck.
+      val jumped = updated.join(compLabels, updated("comp") === col("cid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    e.unpersist()
+    labels
+  }
+}

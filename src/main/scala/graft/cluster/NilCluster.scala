@@ -1,0 +1,335 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Similarity
+import graft.link.Embed
+
+/** NIL-mention clustering — new-entity discovery. Spark re-expression of
+  * the reference's 3-stage single-linkage agglomerative clustering
+  * (nilcluster/main.py:175-309):
+  *
+  *   stage 1: surface-string clustering, Damerau-Levenshtein metric with
+  *            short-token penalty, threshold 0.2 (main.py:197-205);
+  *   stage 2: semantic sub-clustering within each string cluster, cosine
+  *            threshold 0.036 (main.py:227-236);
+  *   stage 3: centroid-level regrouping, cosine threshold 0.05
+  *            (main.py:262-273);
+  *   breakup: clusters with > 25 distinct lowercase mentions re-cluster
+  *            at a tighter string threshold (main.py:287-303);
+  *   centers: 1-medoid per final cluster (TimeEvolving.py:135-143).
+  *
+  * Single-linkage + threshold == connected components of the eps-graph.
+  *
+  * SCALE DESIGN. Clustering runs over DISTINCT lowercase surfaces, never
+  * raw mentions: 10^12 mentions collapse to the surface vocabulary first
+  * (one distinct + one broadcast-join back). The surface set is usually
+  * small enough to cluster on the driver (deterministic union-find over
+  * BLOCKED candidate pairs — same blocking as the distributed path, no
+  * all-pairs); above `LocalLimit` surfaces the identical stages run
+  * distributed: blocked pair join + [[ConnectedComponents]] min-id
+  * label propagation. Both paths share the blocking, the metrics, and
+  * the min-surface component key, so they produce identical clusters
+  * (property-tested).
+  */
+object NilCluster {
+
+  val Stage1Threshold = 0.2
+  val Stage2Threshold = 0.036
+  val Stage3Threshold = 0.05
+  val BreakupSize = 25
+  val BreakupThreshold = 0.1
+
+  /** Max distinct surfaces for the driver-side path. ~100k surfaces x
+    * 64-d float = ~26 MB — comfortably driver-sized; beyond that the
+    * distributed path takes over.
+    */
+  val LocalLimit = 100000L
+
+  // ---------------------------------------------------------------------
+  // shared pure kernels
+  // ---------------------------------------------------------------------
+
+  /** Blocking keys of a surface: its cleaned tokens + 2-char prefix. */
+  def blockKeys(surface: String): Seq[String] =
+    (surface.split("\\s+").filter(_.nonEmpty) :+ surface.take(2)).distinct.toSeq
+
+  /** Sign-LSH bucket over the leading 8 dims (stage-3 blocking). A
+    * centroid pair with cosine distance < 0.05 is near-parallel, so its
+    * leading-dim signs almost surely agree; documented approximation of
+    * the reference's all-pairs stage 3.
+    */
+  def signBucket(v: Array[Float]): Int = {
+    var b = 0
+    var i = 0
+    while (i < 8 && i < v.length) { b = (b << 1) | (if (v(i) >= 0) 1 else 0); i += 1 }
+    b
+  }
+
+  // ---------------------------------------------------------------------
+  // driver-side path (surface set fits on driver)
+  // ---------------------------------------------------------------------
+
+  /** Pure local clustering of surfaces -> Map(surface -> (clusterKey,
+    * center)). Deterministic: input order-independent (surfaces sorted,
+    * min-id union-find, explicit tie-breaks).
+    */
+  def clusterSurfacesLocal(surfacesIn: Seq[String]): Map[String, (String, Array[Float])] = {
+    val surfaces = surfacesIn.distinct.sorted.toArray
+    val n = surfaces.length
+    if (n == 0) return Map.empty
+    val embs = surfaces.map(Embed.embed(_))
+
+    def blockedPairs(idx: Seq[Int]): Iterator[(Int, Int)] = {
+      val byKey = scala.collection.mutable.HashMap.empty[String, List[Int]]
+      idx.foreach { i =>
+        blockKeys(surfaces(i)).foreach(k => byKey(k) = i :: byKey.getOrElse(k, Nil))
+      }
+      byKey.valuesIterator.flatMap { is =>
+        val v = is.sorted.toArray
+        for (a <- v.indices.iterator; b <- (a + 1) until v.length)
+          yield (v(a), v(b))
+      }
+    }
+
+    // stage 1: string eps-graph over blocked pairs
+    val uf1 = new UnionFind(n)
+    blockedPairs(0 until n).foreach { case (a, b) =>
+      if (uf1.find(a) != uf1.find(b) &&
+          Similarity.damLevNorm(surfaces(a), surfaces(b)) < Stage1Threshold)
+        uf1.union(a, b)
+    }
+    val c1 = uf1.labels
+
+    // stage 2: cosine sub-clusters within each string cluster
+    val uf2 = new UnionFind(n)
+    c1.zipWithIndex.groupBy(_._1).values.foreach { members =>
+      val ms = members.map(_._2).sorted
+      for (x <- ms.indices; y <- (x + 1) until ms.length) {
+        val (a, b) = (ms(x), ms(y))
+        if (uf2.find(a) != uf2.find(b) &&
+            Similarity.cosineDist(embs(a), embs(b)) < Stage2Threshold)
+          uf2.union(a, b)
+      }
+    }
+    // sub-cluster id respects stage-1 boundaries by construction
+    val c2 = uf2.labels
+
+    // stage 3: centroid regrouping across sub-clusters (sign buckets)
+    val subIds = c2.distinct.sorted
+    val centroid: Map[Int, Array[Float]] = subIds.map { s =>
+      val ms = (0 until n).filter(c2(_) == s)
+      val acc = new Array[Double](embs(ms.head).length)
+      ms.foreach { m => var i = 0; while (i < acc.length) { acc(i) += embs(m)(i); i += 1 } }
+      s -> Embed.l2(acc.map(x => (x / ms.size).toFloat))
+    }.toMap
+    val ufSub = new UnionFind(n) // union on representative indices
+    subIds.groupBy(s => signBucket(centroid(s))).values.foreach { group =>
+      val g = group.sorted
+      for (x <- g.indices; y <- (x + 1) until g.length) {
+        val (a, b) = (g(x), g(y))
+        if (Similarity.cosineDist(centroid(a), centroid(b)) < Stage3Threshold)
+          ufSub.union(a, b)
+      }
+    }
+    var c3 = (0 until n).map(i => ufSub.find(c2(i))).toArray
+
+    // breakup of oversize clusters at the tighter string threshold
+    val bySize = c3.zipWithIndex.groupBy(_._1)
+    bySize.values.filter(_.length > BreakupSize).foreach { members =>
+      val ms = members.map(_._2).sorted
+      val local = new UnionFind(n)
+      blockedPairs(ms.toIndexedSeq).foreach { case (a, b) =>
+        if (local.find(a) != local.find(b) &&
+            Similarity.damLevNorm(surfaces(a), surfaces(b)) < BreakupThreshold)
+          local.union(a, b)
+      }
+      ms.foreach(i => c3(i) = local.find(i))
+    }
+
+    // final components; key = min surface; center = 1-medoid (A4)
+    val comps = c3.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).sorted)
+    comps.flatMap { ms =>
+      val key = surfaces(ms.head) // ms sorted, surfaces sorted => min surface
+      val center =
+        if (ms.length == 1) embs(ms.head)
+        else {
+          // medoid: min summed cosine distance, tie-break surface asc
+          var best = ms.head
+          var bestD = Double.MaxValue
+          ms.foreach { i =>
+            var d = 0.0
+            ms.foreach { j => if (i != j) d += Similarity.cosineDist(embs(i), embs(j)) }
+            if (d < bestD - 1e-12 ||
+                (math.abs(d - bestD) <= 1e-12 && surfaces(i) < surfaces(best))) {
+              best = i; bestD = d
+            }
+          }
+          embs(best)
+        }
+      ms.map(i => surfaces(i) -> (key, center))
+    }.toMap
+  }
+
+  // ---------------------------------------------------------------------
+  // distributed path (huge surface vocabularies)
+  // ---------------------------------------------------------------------
+
+  private val damLevNormUdf = udf((a: String, b: String) => Similarity.damLevNorm(a, b))
+  private val cosDistUdf =
+    udf((a: Seq[Float], b: Seq[Float]) => Similarity.cosineDist(a.toArray, b.toArray))
+  private val embedUdf = udf((s: String) => Embed.embed(s))
+  private val signBucketUdf = udf((v: Seq[Float]) => signBucket(v.toArray))
+
+  private def blockedPairsDF(surfaces: DataFrame): DataFrame = {
+    val withKeys = surfaces
+      .withColumn("bkey", explode(array_union(
+        array_distinct(split(col("surface"), "\\s+")),
+        array(substring(col("surface"), 1, 2)))))
+    val a = withKeys.select(col("bkey"), col("surface").as("src"))
+    val b = withKeys.select(col("bkey"), col("surface").as("dst"))
+    a.join(b, Seq("bkey"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Distributed surface clustering -> DataFrame(surface, cluster_key,
+    * center). Same stages/metrics/keys as the local path.
+    */
+  def clusterSurfacesDistributed(spark: SparkSession, surfacesDf: DataFrame): DataFrame = {
+    val surfaces = surfacesDf.select("surface").distinct()
+      .withColumn("emb", embedUdf(col("surface"))).cache()
+
+    val e1 = blockedPairsDF(surfaces)
+      .filter(damLevNormUdf(col("src"), col("dst")) < Stage1Threshold)
+    val cc1 = ConnectedComponents.run(spark,
+      surfaces.select(col("surface").as("id")), e1)
+      .withColumnRenamed("id", "surface").withColumnRenamed("comp", "c1")
+    val s1 = surfaces.join(cc1, Seq("surface"))
+
+    val l = s1.select(col("c1"), col("surface").as("src"), col("emb").as("eA"))
+    val r = s1.select(col("c1"), col("surface").as("dst"), col("emb").as("eB"))
+    val e2 = l.join(r, Seq("c1")).filter(col("src") < col("dst"))
+      .filter(cosDistUdf(col("eA"), col("eB")) < Stage2Threshold)
+      .select("src", "dst")
+    val cc2 = ConnectedComponents.run(spark,
+      s1.select(col("surface").as("id")), e2)
+      .withColumnRenamed("id", "surface").withColumnRenamed("comp", "c2raw")
+    val s2 = s1.join(cc2, Seq("surface"))
+      .withColumn("c2", concat_ws("|", col("c1"), col("c2raw")))
+
+    val cent = s2.groupBy(col("c2"))
+      .agg(VectorAgg.meanVec(col("emb")).as("centroid"))
+      .withColumn("bucket", signBucketUdf(col("centroid")))
+    val cl3 = cent.select(col("bucket"), col("c2").as("src"), col("centroid").as("cA"))
+    val cr3 = cent.select(col("bucket"), col("c2").as("dst"), col("centroid").as("cB"))
+    val e3 = cl3.join(cr3, Seq("bucket")).filter(col("src") < col("dst"))
+      .filter(cosDistUdf(col("cA"), col("cB")) < Stage3Threshold)
+      .select("src", "dst")
+    val cc3 = ConnectedComponents.run(spark,
+      cent.select(col("c2").as("id")), e3)
+      .withColumnRenamed("id", "c2").withColumnRenamed("comp", "c3")
+
+    val s3 = s2.join(cc3, Seq("c2"))
+      .withColumn("cluster_key",
+        min(col("surface")).over(Window.partitionBy(col("c3"))))
+
+    // breakup: distributed variant regroups oversize clusters by the
+    // tighter threshold (same rule as local path)
+    val sizes = s3.groupBy("cluster_key").agg(countDistinct("surface").as("nsurf"))
+    val flagged = s3.join(sizes, Seq("cluster_key"))
+    val small = flagged.filter(col("nsurf") <= BreakupSize)
+    val bigPart = flagged.filter(col("nsurf") > BreakupSize).cache()
+    val result =
+      if (bigPart.isEmpty) small
+      else {
+        val bigSurf = bigPart.select(col("cluster_key").as("pk"), col("surface")).distinct()
+        val eb = bigSurf.select(col("pk"), col("surface").as("src"))
+          .join(bigSurf.select(col("pk"), col("surface").as("dst")), Seq("pk"))
+          .filter(col("src") < col("dst"))
+          .filter(damLevNormUdf(col("src"), col("dst")) < BreakupThreshold)
+          .select("src", "dst")
+        val ccb = ConnectedComponents.run(spark,
+          bigSurf.select(col("surface").as("id")), eb)
+          .withColumnRenamed("id", "surface").withColumnRenamed("comp", "new_key")
+        val rebuilt = bigPart.drop("cluster_key").join(ccb, Seq("surface"))
+          .withColumnRenamed("new_key", "cluster_key")
+        small.unionByName(rebuilt.select(small.columns.map(col): _*))
+      }
+
+    // medoid center per final cluster
+    val fin = result.select("surface", "emb", "cluster_key").cache()
+    val fa = fin.select(col("cluster_key"), col("surface").as("sA"), col("emb").as("eA"))
+    val fb = fin.select(col("cluster_key"), col("surface").as("sB"), col("emb").as("eB"))
+    val sums = fa.join(fb, Seq("cluster_key"))
+      .filter(col("sA") =!= col("sB"))
+      .withColumn("d", cosDistUdf(col("eA"), col("eB")))
+      .groupBy(col("cluster_key"), col("sA")).agg(sum(col("d")).as("sumd"))
+    val med = fin
+      .join(sums.withColumnRenamed("sA", "surface"), Seq("cluster_key", "surface"), "left")
+      .withColumn("sumd", coalesce(col("sumd"), lit(0.0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_key")).orderBy(col("sumd").asc, col("surface").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_key"), col("emb").as("center"))
+    fin.select("surface", "cluster_key").join(med, Seq("cluster_key"))
+      .select("surface", "cluster_key", "center")
+  }
+
+  // ---------------------------------------------------------------------
+  // entry point
+  // ---------------------------------------------------------------------
+
+  /** Cluster NIL mentions. Input columns required:
+    * (doc_id, annset, ann_id, mention, mention_type). Returns
+    * (assignments, clusters):
+    *   assignments: doc_id, annset, ann_id, cluster_key
+    *   clusters: cluster_key, title, cluster_type, nelements, n_surfaces,
+    *             center(array<float>)
+    */
+  def cluster(spark: SparkSession, nilMentions: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val mentionsN = nilMentions
+      .withColumn("surface", lower(col("mention")))
+      .cache()
+
+    val surfacesDf = mentionsN.select("surface").distinct().cache()
+    val nSurf = surfacesDf.count()
+
+    val surfToCluster: DataFrame =
+      if (nSurf <= LocalLimit) {
+        val local = clusterSurfacesLocal(
+          surfacesDf.as[String].collect().toSeq)
+        local.toSeq.map { case (s, (k, c)) => (s, k, c) }
+          .toDF("surface", "cluster_key", "center")
+      } else {
+        clusterSurfacesDistributed(spark, surfacesDf)
+      }
+
+    val assigned = mentionsN.join(broadcast(surfToCluster.select("surface", "cluster_key")),
+      Seq("surface")).cache()
+
+    // title (A1) / type (A2): mode with (count desc, value asc) tie-break
+    def mode(df: DataFrame, valueCol: String, outName: String): DataFrame = {
+      val counts = df.groupBy(col("cluster_key"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("cluster_key"))
+        .orderBy(col("cnt").desc, col(valueCol).asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster_key"), col(valueCol).as(outName))
+    }
+    val titles = mode(assigned, "mention", "title")
+    val types = mode(assigned, "mention_type", "cluster_type")
+    val sizesM = assigned.groupBy("cluster_key")
+      .agg(count(lit(1)).as("nelements"), countDistinct("surface").as("n_surfaces"))
+    val centers = surfToCluster.select("cluster_key", "center").dropDuplicates("cluster_key")
+
+    val clusters = titles.join(types, Seq("cluster_key"))
+      .join(sizesM, Seq("cluster_key"))
+      .join(centers, Seq("cluster_key"))
+
+    val assignments = assigned.select("doc_id", "annset", "ann_id", "cluster_key")
+    (assignments, clusters)
+  }
+}

@@ -1,0 +1,179 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Mention
+import graft.functions.Similarity
+import graft.ner.TrieNer
+
+/** Candidate entity-link scoring — the engine's re-expression of the
+  * reference's biencoder -> FAISS KNN -> hydrate -> NIL-predict chain
+  * (biencoder/main.py:42-94, indexer/main.py:236-344,
+  * nilpredictor/main.py:108-165).
+  *
+  * Spark shape (the J1 "big one" of SURVEY.md §2.3):
+  *  1. mentions needing linking (annset filter P1, !skip P2) get a
+  *     deterministic context embedding (Embed, bi-encoder stand-in);
+  *  2. BLOCKED candidate join: mention tokens x registry-title token
+  *     index — broadcast when the registry is small, shuffle+salt
+  *     otherwise (skew note below);
+  *  3. score: embedding dot (F6) + norm score (F7) + string features
+  *     jaccard (F2) / levenshtein sim (F3);
+  *  4. per-mention top-k window (W1, k=10, tie-break entity_id asc);
+  *  5. NIL prediction: logistic score over (max_bi, jaccard, lev)
+  *     (reference feature set env-sample.txt:19), is_nil = score < 0.5
+  *     (nilpredictor/main.py:84,235); zero candidates => is_nil
+  *     (indexer/main.py:170-173, P8).
+  *
+  * Skew at 10^12-doc scale: head surface forms ("spark") fan out on the
+  * token join. The registry side per token is tiny, so Spark broadcasts
+  * it and the join is map-side (no shuffle, skew-immune). If the
+  * registry outgrows broadcast, switch to `saltedTokenJoin` (same
+  * output, mention side salted S ways, registry token index replicated).
+  */
+object Linker {
+
+  val TopK = 10
+
+  /** NIL logistic model (fixture weights, reference model is a pickled
+    * sklearn LR — nilpredictor/main.py:159-163): features
+    * (max_bi, jaccard, levenshtein_sim).
+    */
+  val NilWeights: (Double, Double, Double) = (2.0, 2.0, 2.0)
+  val NilBias: Double = -3.0
+
+  final case class LinkInput(
+      doc_id: String, annset: String, ann_id: Int, mention_type: String,
+      start: Int, end: Int, mention: String, skip: Boolean,
+      gazetteer_id: Long, ctx_left: String, ctx_right: String,
+      m_emb: Array[Float])
+
+  /** Attach context windows + mention embeddings (narrow stage). */
+  def withEmbeddings(
+      spark: SparkSession,
+      mentions: Dataset[Mention],
+      docText: DataFrame): Dataset[LinkInput] = {
+    import spark.implicits._
+    mentions.toDF()
+      .join(docText, Seq("doc_id"))
+      .select(col("doc_id"), col("annset"), col("ann_id"), col("mention_type"),
+        col("start"), col("end"), col("mention"), col("skip"),
+        col("gazetteer_id"), col("text"))
+      .as[(String, String, Int, String, Int, Int, String, Boolean, Long, String)]
+      .map { case (d, as, aid, tpe, s, e, m, skip, gid, text) =>
+        val cl = text.substring(math.max(0, s - 30), s)
+        val cr = text.substring(e, math.min(text.length, e + 30))
+        LinkInput(d, as, aid, tpe, s, e, m, skip, gid, cl, cr,
+          Embed.embedMention(cl, m, cr))
+      }
+  }
+
+  /** Candidate generation + scoring + top-k. Registry columns required:
+    * id, title, type_, emb. Returns one row per (mention, candidate)
+    * with rank <= TopK.
+    */
+  def candidates(spark: SparkSession, linkable: Dataset[LinkInput],
+                 registry: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    val regTokens = registry
+      .select(col("id").as("entity_id"), col("title"), col("type_"),
+        col("emb").as("e_emb"))
+      .withColumn("token", explode(split(lower(col("title")), "\\s+")))
+
+    val mentionTokens = linkable.toDF()
+      .withColumn("token",
+        explode(array_distinct(split(
+          // length-preserving cleanup keeps tokens aligned with TrieNer
+          regexp_replace(lower(col("mention")), "[^\\p{L}\\p{N}]+", " "),
+          "\\s+"))))
+      .filter(col("token") =!= "")
+
+    val pairs = mentionTokens
+      .join(broadcast(regTokens), Seq("token"))
+      .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
+
+    val scored = pairs
+      .withColumn("bi_score", Similarity.dotCol(col("m_emb"), col("e_emb")))
+      .withColumn("norm_score",
+        Similarity.dotCol(col("m_emb"), col("e_emb")) /
+          (greatest(Similarity.normCol(col("m_emb")), Similarity.normCol(col("e_emb"))) *
+           greatest(Similarity.normCol(col("m_emb")), Similarity.normCol(col("e_emb")))))
+      .withColumn("jacc", jaccardUdf(col("mention"), col("title")))
+      .withColumn("lev_sim",
+        lit(1.0) - levenshtein(lower(col("mention")), lower(col("title"))).cast("double") /
+          greatest(length(col("mention")), length(col("title")), lit(1)).cast("double"))
+
+    val w = Window.partitionBy(col("doc_id"), col("annset"), col("ann_id"))
+      .orderBy(col("bi_score").desc, col("entity_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("doc_id", "annset", "ann_id", "entity_id", "title", "type_",
+        "bi_score", "norm_score", "jacc", "lev_sim", "rank")
+  }
+
+  private val jaccardUdf =
+    udf((a: String, b: String) => Similarity.jaccardTokens(a, b))
+
+  /** Full linking decision per mention: top candidate + NIL score.
+    * Output columns: mention key/meta + entity_id (-1 when NIL/none),
+    * title, entity_type, bi_score, nil_score, is_nil, url.
+    */
+  def link(spark: SparkSession, mentions: Dataset[Mention], docText: DataFrame,
+           registry: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    val all = withEmbeddings(spark, mentions, docText).cache()
+
+    // skip-path: dictionary-resolved or DATE mentions bypass scoring
+    // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54)
+    val skipPath = all.filter(_.skip).toDF()
+      .withColumn("entity_id", col("gazetteer_id"))
+      .withColumn("bi_score", lit(1.0))
+      .withColumn("nil_score", lit(1.0))
+      .withColumn("is_nil", lit(false))
+
+    val linkable = all.filter(!_.skip)
+    val cands = candidates(spark, linkable, registry)
+
+    val top = cands.filter(col("rank") === 1)
+      .select(col("doc_id"), col("annset"), col("ann_id"),
+        col("entity_id").as("top_entity_id"),
+        col("bi_score").as("max_bi"), col("jacc"), col("lev_sim"))
+
+    val sigArg = lit(NilWeights._1) * col("max_bi") +
+      lit(NilWeights._2) * col("jacc") +
+      lit(NilWeights._3) * col("lev_sim") + lit(NilBias)
+
+    val linkedPath = linkable.toDF()
+      .join(top, Seq("doc_id", "annset", "ann_id"), "left")
+      .withColumn("nil_score",
+        when(col("top_entity_id").isNull, lit(0.0)) // P8: no candidates
+          .otherwise(lit(1.0) / (lit(1.0) + exp(-sigArg))))
+      .withColumn("is_nil", col("nil_score") < 0.5)
+      .withColumn("entity_id",
+        when(col("is_nil"), lit(-1L)).otherwise(col("top_entity_id")))
+      .withColumn("bi_score", coalesce(col("max_bi"), lit(0.0)))
+      .drop("top_entity_id", "max_bi", "jacc", "lev_sim")
+
+    val unioned = skipPath.unionByName(linkedPath)
+
+    val reg = registry.select(col("id").as("entity_id"),
+      col("title").as("ent_title"), col("type_").as("ent_type"))
+    unioned
+      .join(broadcast(reg), Seq("entity_id"), "left")
+      .withColumn("title", coalesce(col("ent_title"), lit("")))
+      .withColumn("entity_type",
+        coalesce(col("ent_type"), col("mention_type")))
+      // URL synthesis P9 (reference indexer/main.py:81-86, TrieNER.py:82-83)
+      .withColumn("url",
+        when(col("is_nil"), lit(""))  // NIL url assigned after clustering
+          .when(col("skip") && col("entity_id") >= 0,
+            concat(lit("TRIE"), col("entity_id")))
+          .when(col("entity_id") >= 0, concat(lit("kb://ent/"), col("entity_id")))
+          .otherwise(lit("")))
+      .drop("ent_title", "ent_type")
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.InputDoc
+import graft.kb.Registry
+import graft.tables.IceLite
+
+/** Incremental KB population — the reference's defining behavior
+  * (indexer/main.py:353-437: entities discovered in one document are
+  * visible to the next) re-expressed as a micro-batch loop over IceLite
+  * snapshot tables with per-batch lineage checkpointing and resume
+  * (north rule: "resumable from checkpoint with per-partition lineage +
+  * metrics tables").
+  *
+  * Batch semantics = the reference's DataEvolver step-k replay
+  * (nilcluster/Packages/TimeEvolving.py:11-47): docs inside a batch do
+  * not see each other's new entities; every later batch does.
+  *
+  * State tables under `workDir`:
+  *   documents        InputDoc rows            MERGE key (doc_id)
+  *   mentions         linked mention rows      MERGE key (doc_id, annset, ann_id)
+  *   entity_registry  EntityRecord rows        MERGE key (id, indexer)
+  *   triples          (doc_id, subj, pred, obj) MERGE key all four
+  *   lineage          (batch_id, stage, status) append-only, no wall-clock
+  *   metrics          (batch_id, metric, value) append-only (wall-clock ok;
+  *                    excluded from identity checks)
+  *
+  * Crash consistency: every table commit is an atomic pointer swap; the
+  * lineage "done" row for a batch is written LAST, so a kill at any
+  * point re-runs the batch, and MERGE INTO keyed upserts make the replay
+  * idempotent — the final tables are byte-identical to an uninterrupted
+  * run (tested).
+  */
+object Incremental {
+
+  final case class Tables(workDir: String) {
+    val documents = IceLite(s"$workDir/documents")
+    val mentions = IceLite(s"$workDir/mentions")
+    val registry = IceLite(s"$workDir/entity_registry")
+    val triples = IceLite(s"$workDir/triples")
+    val lineage = IceLite(s"$workDir/lineage")
+    val metrics = IceLite(s"$workDir/metrics")
+  }
+
+  /** Deterministic batch id for a doc (stable across runs/partitionings:
+    * Spark murmur3 hash with fixed seed).
+    */
+  def withBatch(docs: Dataset[InputDoc], numBatches: Int): DataFrame =
+    docs.toDF().withColumn("batch_id", pmod(hash(col("doc_id")), lit(numBatches)))
+
+  def doneBatches(spark: SparkSession, t: Tables): Set[Int] =
+    t.lineage.read(spark) match {
+      case Some(df) => df.filter(col("status") === "done")
+        .select("batch_id").distinct().collect().map(_.getInt(0)).toSet
+      case None => Set.empty
+    }
+
+  /** Run (or resume) the incremental population. `upToBatch` limits how
+    * many batches run this invocation (for kill/resume testing); default
+    * runs all remaining.
+    */
+  def run(spark: SparkSession, docs: Dataset[InputDoc], workDir: String,
+          numBatches: Int, upToBatch: Int = Int.MaxValue): Tables = {
+    import spark.implicits._
+    val t = Tables(workDir)
+
+    if (!t.registry.exists) t.registry.overwrite(Registry.seed(spark).toDF())
+
+    val batched = withBatch(docs, numBatches).cache()
+    val done = doneBatches(spark, t)
+    var ran = 0
+
+    (0 until numBatches).foreach { b =>
+      if (!done.contains(b) && ran < upToBatch) {
+        val t0 = System.nanoTime()
+        val batchDocs = batched.filter(col("batch_id") === b)
+          .drop("batch_id").as[InputDoc]
+        val registry = t.registry.read(spark).get.cache()
+
+        val res = Pipeline.run(spark, batchDocs, registry)
+
+        t.documents.mergeInto(spark, batchDocs.toDF(), Seq("doc_id"))
+        t.mentions.mergeInto(spark,
+          res.linked.select("doc_id", "annset", "ann_id", "mention_type",
+            "start", "end", "mention", "skip", "entity_id", "title",
+            "entity_type", "bi_score", "nil_score", "is_nil", "url", "name"),
+          Seq("doc_id", "annset", "ann_id"))
+        t.triples.mergeInto(spark, res.triples,
+          Seq("doc_id", "subj", "pred", "obj"))
+        t.registry.mergeInto(spark, res.newEntities, Seq("id", "indexer"))
+
+        val nDocs = batchDocs.count()
+        val nMentions = res.linked.count()
+        val nTriples = res.triples.count()
+        val nNew = res.newEntities.count()
+        val wallMs = (System.nanoTime() - t0) / 1e6
+
+        t.metrics.append(Seq(
+          (b, "n_docs", nDocs.toDouble),
+          (b, "n_mentions", nMentions.toDouble),
+          (b, "n_triples", nTriples.toDouble),
+          (b, "n_new_entities", nNew.toDouble),
+          (b, "wall_ms", wallMs)
+        ).toDF("batch_id", "metric", "value"))
+        // lineage LAST: commit point for resume
+        t.lineage.append(Seq((b, "pipeline", "done")).toDF("batch_id", "stage", "status"))
+        ran += 1
+      }
+    }
+    batched.unpersist()
+    t
+  }
+}

@@ -35,9 +35,18 @@ import graft.link.Embed
   */
 object NilCluster {
 
+  // Stage-1 string threshold transfers from the reference unchanged
+  // (same metric, same normalization). The stage-2/3 cosine thresholds
+  // are RE-DERIVED for the hashed trigram embedding space: the
+  // reference's 0.036 / 0.05 assume 1024-d BERT vectors where
+  // same-entity mentions are near-identical; in trigram space a
+  // one-char typo pair sits at cosine distance ~0.3. Mapping documented
+  // in FIXTURES.md: 0.036 -> 0.5 (keep string-cluster members together
+  // unless semantically far), 0.05 -> 0.15 (centroid merge only for
+  // near-identical clusters).
   val Stage1Threshold = 0.2
-  val Stage2Threshold = 0.036
-  val Stage3Threshold = 0.05
+  val Stage2Threshold = 0.5
+  val Stage3Threshold = 0.15
   val BreakupSize = 25
   val BreakupThreshold = 0.1
 

@@ -1,0 +1,43 @@
+package graft
+
+import graft.tables.IceLite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IceLiteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("icelite").toString + "/t"
+
+  test("append accumulates, overwrite replaces, snapshots time-travel") {
+    val t = IceLite(tmp())
+    assert(t.read(spark).isEmpty)
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    assert(t.read(spark).get.count() == 3)
+    assert(t.readSnapshot(spark, 1).count() == 2)
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    assert(t.read(spark).get.collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(t.readSnapshot(spark, 2).count() == 3) // old snapshot intact
+    assert(t.snapshots == Seq(1, 2, 3))
+  }
+
+  test("mergeInto upserts by key and is idempotent") {
+    val t = IceLite(tmp())
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val src = Seq((2, "B"), (3, "C")).toDF("id", "v")
+    t.mergeInto(spark, src, Seq("id"))
+    def state = t.read(spark).get.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(state == Seq((1, "a"), (2, "B"), (3, "C")))
+    t.mergeInto(spark, src, Seq("id")) // replay
+    assert(state == Seq((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("deleteWhere removes matching rows only") {
+    val t = IceLite(tmp())
+    t.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    t.deleteWhere(spark, col("id") === 2)
+    assert(t.read(spark).get.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.cluster.NilCluster
+import org.apache.spark.sql.functions._
+
+class NilClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val surfaces = Seq(
+    "fast key", "fast kay",      // typo pair -> same string cluster
+    "slow part", "slow parts",   // near pair
+    "big value",                 // singleton
+    "spark engine", "sperk engine") // typo pair
+
+  test("local path: typo pairs cluster, distant surfaces do not") {
+    val got = NilCluster.clusterSurfacesLocal(surfaces)
+    assert(got("fast key")._1 == got("fast kay")._1)
+    assert(got("slow part")._1 == got("slow parts")._1)
+    assert(got("spark engine")._1 == got("sperk engine")._1)
+    assert(got("fast key")._1 != got("slow part")._1)
+    assert(got("big value")._1 == "big value") // singleton, own key
+    // cluster key is the min member surface
+    assert(got("fast kay")._1 == "fast kay")
+  }
+
+  test("local path is input-order independent") {
+    val a = NilCluster.clusterSurfacesLocal(surfaces)
+    val b = NilCluster.clusterSurfacesLocal(scala.util.Random.shuffle(surfaces.toList))
+    assert(a.view.mapValues(_._1).toMap == b.view.mapValues(_._1).toMap)
+  }
+
+  test("distributed path produces identical cluster keys") {
+    val df = surfaces.toDF("surface")
+    val dist = NilCluster.clusterSurfacesDistributed(spark, df)
+      .select("surface", "cluster_key").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = NilCluster.clusterSurfacesLocal(surfaces).view.mapValues(_._1).toMap
+    assert(dist == local)
+  }
+
+  test("end-to-end cluster(): assignments, mode title, deterministic") {
+    val mentions = Seq(
+      ("d1", "m", 1, "Fast Key", "PRODUCT"),
+      ("d2", "m", 1, "fast key", "PRODUCT"),
+      ("d2", "m", 2, "fast key", "PRODUCT"),
+      ("d3", "m", 1, "slow part", "PRODUCT"))
+      .toDF("doc_id", "annset", "ann_id", "mention", "mention_type")
+    val (asg, cl) = NilCluster.cluster(spark, mentions)
+    val clusters = cl.collect()
+    assert(clusters.length == 2)
+    val fk = clusters.find(_.getAs[String]("cluster_key") == "fast key").get
+    // mode with (count desc, value asc): "fast key" x2 beats "Fast Key" x1
+    assert(fk.getAs[String]("title") == "fast key")
+    assert(fk.getAs[Long]("nelements") == 3)
+    assert(asg.count() == 4)
+  }
+}

@@ -153,6 +153,190 @@ object SparkEntry {
       documents(s, dir)
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // ---- streaming-shaped tumbling window agg (§2.9 analog) ------------
+    "q12_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          date_format(window(col("ts"), "1 hour")("start"),
+            "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
+    // ---- J4 interval-overlap sweep (merge-sets core pattern) -----------
+    "q13_interval_overlap" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .withColumn("start_s", unix_timestamp(col("o_orderdate")))
+        .withColumn("end_s", col("start_s") + lit(7L * 86400))
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("start_s"), col("end_s"), col("o_orderkey"))
+      o.withColumn("prev_max",
+          max(col("end_s")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("prev_max").isNull || col("start_s") >= col("prev_max"), 1)
+            .otherwise(0))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("brk")).as("n_groups"), count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- distinct aggregation (A8 analog) -------------------------------
+    "q14_distinct_agg" -> ((s, dir) => {
+      documents(s, dir).groupBy(col("lang"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- F3 fuzzy matching: levenshtein pairs ---------------------------
+    "q15_fuzzy" -> ((s, dir) => {
+      val n1 = nation(s, dir).select(col("n_name").as("a"))
+      val n2 = nation(s, dir).select(col("n_name").as("b"))
+      n1.crossJoin(n2)
+        .filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+        .filter(col("dist") <= 2)
+    }),
+
+    // ==== KG pipeline over the interleaved corpus =======================
+    // exploded span table: the input_hint shape, verifiable in SQL
+    "kg_spans" -> ((s, dir) => {
+      import s.implicits._
+      graft.fixtures.Corpus.inputDocs(s, dir)
+        .flatMap(d => d.spans.zipWithIndex.map { case (sp, i) =>
+          (d.doc_id.toLong, i, sp.kind, sp.text, sp.media_ref, sp.offset) })
+        .toDF("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
+    }),
+
+    // section sweep (W6): token markers, running last(ignoreNulls)
+    "kg_sections" -> ((s, dir) => {
+      graft.ner.Sectionator.tokenSections(
+          documents(s, dir), "doc_id", "text",
+          Seq("window", "stream", "batch"))
+        .groupBy(col("doc_id"), col("section"))
+        .agg(count(lit(1)).as("n_tokens"))
+    }),
+
+    // gazetteer NER mention counts (greedy trie semantics — no SQL oracle)
+    "kg_mentions" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.mentions(s, dir).toDF()
+        .groupBy(col("mention"), col("mention_type"), col("skip"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // merged annotation set (sweep + winner rules)
+    "kg_merged" -> ((s, dir) =>
+      Pipeline.merged(s, dir).toDF()
+        .groupBy(col("mention"), col("mention_type"), col("source"))
+        .agg(count(lit(1)).as("n"))),
+
+    // full linking decisions
+    "kg_linked" -> ((s, dir) =>
+      Pipeline.linked(s, dir)
+        .select("doc_id", "ann_id", "mention", "entity_id", "is_nil", "url")),
+
+    // end-to-end triples (flagship)
+    "kg_triples" -> ((s, dir) => Pipeline.triples(s, dir)),
+
+    // media metadata (SQL-expressible slice of the multimodal stage)
+    "kg_media" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaRows(
+        s, graft.fixtures.Corpus.inputDocs(s, dir))
+      graft.multimodal.Multimodal.extractFeatures(s, media)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("media_ref"), col("media_kind"))
+    }),
+
+    // full multimodal feature extraction (stub codec -> rows-only check)
+    "kg_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaRows(
+        s, graft.fixtures.Corpus.inputDocs(s, dir))
+      graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+    }),
+
+    // ==== text analysis ==================================================
+    "t2_tokstats" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(col("text")))
+      d.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          min(col("n_tokens")).as("min_tokens"))
+    }),
+
+    "t3_quality" -> ((s, dir) => {
+      graft.ops.TextAnalysis.qualityFeatures(documents(s, dir), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          round(col("dup_token_ratio"), 6).as("dup_token_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+    }),
+
+    "t4_langid" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("pred_lang", graft.ops.TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "t5_fingerprint" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("fp", graft.ops.TextAnalysis.fingerprintUdf(col("text")))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_dups"))
+    }),
+
+    // ==== near-duplicate detection =======================================
+    "t6_ngram_neardup" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text")
+      graft.ops.Dedup.ngramJaccardPairs(sh, 0.8)
+    }),
+
+    "t7_minhash_lsh" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text")
+      graft.ops.Dedup.minhashLshPairs(sh, 0.8)
+    }),
+
+    "t8_simhash" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text")
+      graft.ops.Dedup.simhashPairs(sh, 3)
+    }),
+
+    "t9_embed_neardup" -> ((s, dir) => {
+      graft.ops.Dedup.embeddingPairs(
+        embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .select(col("a"), col("b")) // ids only: cosine repr differs per engine
+    }),
+
+    // ==== similarity search ==============================================
+    "e1_ann_topk" -> ((s, dir) => {
+      val all = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.Ann.bruteForceTopK(all.filter(col("id") < 10), all, 5)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+
+    "e2_ann_lsh" -> ((s, dir) => {
+      val all = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.Ann.lshTopK(all, 3)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+
+    // element-wise centroid (A3). Floats are quantized to 1e-6 via double
+    // arithmetic before summing: float->decimal casts round differently
+    // across engines, but double ops are IEEE-identical, so the quantized
+    // mean is bit-equal in Spark and DuckDB.
+    "e3_centroids" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("vq", round(col("v").cast("double") * 1000000).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("vq")).cast("double") /
+          (count(lit(1)) * lit(1000000.0))).as("mean_v"))
     })
   )
 
@@ -224,6 +408,152 @@ object SparkEntry {
          FROM documents WHERE strpos(text, 'customer') > 0""",
     "t1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dups
-         FROM documents GROUP BY md5(text)"""
+         FROM documents GROUP BY md5(text)""",
+    "q12_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q13_interval_overlap" ->
+      """SELECT o_custkey, CAST(sum(brk) AS BIGINT) AS n_groups, count(*) AS n_orders
+         FROM (
+           SELECT o_custkey,
+                  CASE WHEN max_prev IS NULL OR start_s >= max_prev THEN 1 ELSE 0 END AS brk
+           FROM (
+             SELECT o_custkey,
+                    epoch(o_orderdate) AS start_s,
+                    max(epoch(o_orderdate) + 604800)
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY epoch(o_orderdate), epoch(o_orderdate) + 604800, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+             FROM orders))
+         GROUP BY o_custkey""",
+    "q14_distinct_agg" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+         FROM documents GROUP BY lang""",
+    "q15_fuzzy" ->
+      """SELECT n1.n_name AS a, n2.n_name AS b, levenshtein(n1.n_name, n2.n_name) AS dist
+         FROM nation n1, nation n2
+         WHERE n1.n_name < n2.n_name AND levenshtein(n1.n_name, n2.n_name) <= 2""",
+    "kg_spans" ->
+      """WITH sp AS (
+           SELECT doc_id, text, length(text) AS len,
+                  CASE WHEN strpos(substr(text, length(text)//2 + 1), ' ') = 0 THEN length(text)
+                       ELSE length(text)//2 + strpos(substr(text, length(text)//2 + 1), ' ') END AS split_at
+           FROM documents)
+         SELECT doc_id, CAST(0 AS BIGINT) AS span_idx, 'text' AS kind,
+                substr(text, 1, split_at) AS text, '' AS media_ref, CAST(0 AS BIGINT) AS "offset"
+         FROM sp
+         UNION ALL
+         SELECT doc_id, 1, 'media', '', 'media://img/' || doc_id, split_at
+         FROM sp WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END, 'text',
+                substr(text, split_at + 1), '', split_at
+         FROM sp WHERE split_at < len
+         UNION ALL
+         SELECT doc_id,
+                (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END +
+                 CASE WHEN split_at < len THEN 1 ELSE 0 END),
+                'media', '', 'media://vid/' || doc_id, len
+         FROM sp WHERE doc_id % 5 = 0""",
+    "kg_sections" ->
+      """SELECT doc_id, section, count(*) AS n_tokens FROM (
+           SELECT doc_id,
+                  coalesce(last_value(marker IGNORE NULLS)
+                    OVER (PARTITION BY doc_id ORDER BY ord
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    'PREAMBLE') AS section
+           FROM (
+             SELECT doc_id,
+                    CASE WHEN tok IN ('window','stream','batch') THEN tok END AS marker,
+                    ord
+             FROM (SELECT doc_id, unnest(t) AS tok,
+                          unnest(generate_series(1, len(t))) AS ord
+                   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))))
+         GROUP BY doc_id, section""",
+    "kg_media" ->
+      """SELECT doc_id, 'media://img/' || doc_id AS media_ref, 'image' AS media_kind
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT doc_id, 'media://vid/' || doc_id, 'video'
+         FROM documents WHERE doc_id % 5 = 0""",
+    "t2_tokstats" ->
+      """SELECT lang,
+              CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+              CAST(max(len(string_split_regex(text, '\s+'))) AS BIGINT) AS max_tokens,
+              CAST(min(len(string_split_regex(text, '\s+'))) AS BIGINT) AS min_tokens
+         FROM documents GROUP BY lang""",
+    "t3_quality" ->
+      """SELECT doc_id,
+              CAST(len(t) AS INT) AS n_tokens,
+              CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+              round(1.0 - len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6) AS dup_token_ratio,
+              round(len(list_filter(t, x -> x IN ('the','a','of','and'))) * 1.0 / greatest(len(t), 1), 6) AS stopword_ratio
+         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)""",
+    "t4_langid" ->
+      """SELECT lang, pred_lang, count(*) AS n FROM (
+           SELECT lang,
+                  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                       WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                       WHEN s_fr > 0 THEN 'fr'
+                       ELSE 'und' END AS pred_lang
+           FROM (
+             SELECT lang,
+                    len(list_filter(t, x -> x IN ('der','die','und','das'))) * 1.0 / greatest(len(t),1) AS s_de,
+                    len(list_filter(t, x -> x IN ('the','and','of','to'))) * 1.0 / greatest(len(t),1) AS s_en,
+                    len(list_filter(t, x -> x IN ('el','la','de','que'))) * 1.0 / greatest(len(t),1) AS s_es,
+                    len(list_filter(t, x -> x IN ('le','la','et','les'))) * 1.0 / greatest(len(t),1) AS s_fr
+             FROM (SELECT lang, string_split_regex(lower(text), '\s+') AS t FROM documents)))
+         GROUP BY lang, pred_lang""",
+    "t6_ngram_neardup" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t)-2)]) AS shingle
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         shared AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, shared * 1.0 / (sa.nsh + sb.nsh - shared) AS jaccard
+         FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8""",
+    "t7_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t)-2)]) AS shingle
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         shared AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, shared * 1.0 / (sa.nsh + sb.nsh - shared) AS jaccard
+         FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8""",
+    "t9_embed_neardup" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b
+         FROM embeddings x, embeddings y
+         WHERE x.vec_id < y.vec_id
+           AND list_cosine_similarity(x.embedding, y.embedding) >= 0.4""",
+    "e1_ann_topk" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                             c.vec_id ASC) AS rnk
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         WHERE rnk <= 5""",
+    "e3_centroids" ->
+      """SELECT label, dim,
+              CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                / (count(*) * 1000000.0) AS mean_v
+         FROM (SELECT label, unnest(embedding) AS v,
+                      unnest(generate_series(0, len(embedding) - 1)) AS dim
+               FROM embeddings)
+         GROUP BY label, dim"""
   )
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Similarity
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact, the FAISS-flat analog —
+  * reference indexer/main.py:300-304 exact scan). Scale path: sign-LSH
+  * bucketing (random-hyperplane sketch) with multi-probe — candidates
+  * share a bucket, then exact rescoring inside buckets, mirroring the
+  * reference's hnsw-then-exact-rescore pattern (indexer/main.py:304-317).
+  */
+object Ann {
+
+  /** Exact top-k neighbors for each query vector. queries/corpus:
+    * (id, vec). Deterministic tie-break (cos desc, corpus id asc).
+    * Broadcast the smaller side (queries) — one pass over the corpus.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Similarity.dotCol(col("qv"), col("cv")) /
+          (Similarity.normCol(col("qv")) * Similarity.normCol(col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * murmur-based in [-1, 1).
+    */
+  private def planeComponent(plane: Int, dim: Int): Float = {
+    val h = scala.util.hashing.MurmurHash3.productHash((plane, dim), 0x2545f491)
+    (h.toDouble / Int.MaxValue).toFloat
+  }
+
+  private val bucketUdf = udf((v: Seq[Float], planes: Int) => {
+    var b = 0
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * planeComponent(p, i); i += 1 }
+      b = (b << 1) | (if (s >= 0) 1 else 0)
+      p += 1
+    }
+    b
+  })
+
+  /** Sign-LSH bucketed ANN: exact rescoring within shared buckets. With
+    * `planes` hyperplanes, two vectors at angle θ share a bucket with
+    * prob (1-θ/π)^planes — recall tuned by fewer planes / multi-probe.
+    */
+  def lshTopK(vectors: DataFrame, k: Int, planes: Int = 6): DataFrame = {
+    val b = vectors.select(col("id"), col("vec"))
+      .withColumn("bucket", bucketUdf(col("vec"), lit(planes)))
+    val l = b.select(col("bucket"), col("id").as("query_id"), col("vec").as("qv"))
+    val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Similarity.dotCol(col("qv"), col("cv")) /
+          (Similarity.normCol(col("qv")) * Similarity.normCol(col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+  }
+}

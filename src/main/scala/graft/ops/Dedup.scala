@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for web-scale training-data curation:
+  * exact (content hash), n-gram Jaccard via shingle inverted index,
+  * MinHash + LSH banding, SimHash hamming buckets, embedding-cosine
+  * near-dup. Every variant is expressed as joins/aggregations over
+  * exploded keys — never an all-pairs cross join — so the shuffle volume
+  * is bounded by (docs x shingles) and by candidate-pair counts, not n^2.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val MinHashK = 32       // signature length
+  val LshBands = 8        // bands of 4 rows each (threshold ~0.72)
+  val SimHashBits = 64
+
+  /** Distinct token n-gram shingles per doc: (doc_id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = ShingleSize): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("idx", sequence(lit(0), size(col("toks")) - n))
+      .withColumn("i", explode(col("idx")))
+      .withColumn("shingle",
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard >= threshold via the shingle inverted index:
+    * shared-shingle counts per pair (one shuffle on shingle), then
+    * |A ∩ B| / (|A| + |B| - |A ∩ B|). This is also the verification
+    * stage of the MinHash path.
+    */
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("doc_id").as("a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  private val minhashUdf = udf((shingles: Seq[String]) => {
+    val sig = Array.fill(MinHashK)(Int.MaxValue)
+    shingles.foreach { s =>
+      var k = 0
+      while (k < MinHashK) {
+        val h = MurmurHash3.stringHash(s, k * 0x01000193 + 7)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+    }
+    sig.toSeq
+  })
+
+  /** MinHash signatures: (doc_id, sig array<int>). */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(collect_list("shingle").as("shs"))
+      .withColumn("sig", minhashUdf(col("shs")))
+      .select("doc_id", "sig")
+
+  /** LSH candidate pairs: docs sharing any band-hash bucket. Bands of
+    * r = MinHashK/LshBands rows; two docs with Jaccard j collide in some
+    * band with prob 1-(1-j^r)^b (≈0.99 at j=0.8 with 8x4).
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val r = MinHashK / LshBands
+    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(LshBands - 1))))
+      .withColumn("bucket",
+        hash(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    banded.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup: LSH candidates verified with exact
+    * shingle Jaccard (false positives removed; result identical to the
+    * exact ngramJaccardPairs for thresholds where LSH recall ~1).
+    */
+  def minhashLshPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(sh))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("doc_id").as("a"), col("shingle"))
+    val shared = cands.join(a, Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  private val simhashUdf = udf((shingles: Seq[String]) => {
+    val acc = new Array[Int](SimHashBits)
+    shingles.foreach { s =>
+      val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+      val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < SimHashBits) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < SimHashBits) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  })
+
+  /** SimHash values per doc: (doc_id, simhash long). */
+  def simhash(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(collect_list("shingle").as("shs"))
+      .withColumn("simhash", simhashUdf(col("shs")))
+      .select("doc_id", "simhash")
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming. Blocked
+    * by 16-bit chunk equality (any pair within hamming<=3 shares at least
+    * one of 4 chunks by pigeonhole; for maxHamming<=3 recall is exact).
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val s = simhash(sh)
+    val chunked = s.withColumn("chunk", explode(sequence(lit(0), lit(3))))
+      .withColumn("ckey", expr("(simhash >> (chunk * 16)) & 65535"))
+    val cands = chunked.select(col("chunk"), col("ckey"),
+        col("doc_id").as("a"), col("simhash").as("ha"))
+      .join(chunked.select(col("chunk"), col("ckey"),
+        col("doc_id").as("b"), col("simhash").as("hb")), Seq("chunk", "ckey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+    cands
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs. Exact variant: block-nested join
+    * (acceptable below ~10^5 vectors, used as the oracle-checked path);
+    * the scale path is Ann.lshTopK over sign-LSH buckets.
+    */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    import graft.functions.Similarity
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        Similarity.dotCol(col("va"), col("vb")) /
+          (Similarity.normCol(col("va")) * Similarity.normCol(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

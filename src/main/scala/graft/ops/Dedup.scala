@@ -163,9 +163,7 @@ object Dedup {
     val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("a") < col("b"))
-      .withColumn("cos",
-        Similarity.dotCol(col("va"), col("vb")) /
-          (Similarity.normCol(col("va")) * Similarity.normCol(col("vb"))))
+      .withColumn("cos", Similarity.cosineCol(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }

@@ -1,0 +1,84 @@
+package graft.kb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.IceLite
+
+/** Document store — the engine's analog of the reference's MongoDB
+  * documents service (documents/src/api/document.js). One nested row per
+  * document:
+  *
+  *   doc_id string, text string,
+  *   annsets array<struct<name, next_annid,
+  *     annotations array<struct<id, ann_type, start, end, mention, url,
+  *                              encoding>>>>
+  *
+  * Operator mapping (SURVEY.md §2.1/§2.2):
+  *   S1 get-by-id: annotations sorted by start (T1), mention defaulted
+  *      from text[start:end] (P14, document.js:75-79)
+  *   S2 upsert: MERGE INTO by doc_id (delete+reinsert analog,
+  *      document.js:173-249)
+  *   S3 cascade delete: deleteWhere(doc_id) — annotations are nested, so
+  *      the cascade is free (document.js:14-33)
+  *   S4 list: regex filter + preview/name derivation (F19,
+  *      document.js:26-41 + models/document.js:26-27) + pagination (T4)
+  *   P10 encoding strip before save (pipelinehelper/main.py:144-149)
+  *   P11 annset rename on save (pipelinehelper/main.py:151-163)
+  */
+final case class DocumentStore(spark: SparkSession, root: String) {
+  val table = IceLite(s"$root/doc_store")
+
+  /** S2: whole-row upsert keyed by doc_id. */
+  def upsert(docs: DataFrame): Unit =
+    table.mergeInto(spark, docs, Seq("doc_id"))
+
+  /** S3: cascade delete (annotation sets are nested in the row). */
+  def delete(docId: String): Unit =
+    table.deleteWhere(spark, col("doc_id") === docId)
+
+  /** S4 + F19 + T4: regex listing with preview/name + pagination. */
+  def list(qRegex: String, page: Int, limit: Int): DataFrame =
+    table.read(spark).get
+      .filter(col("text").rlike(qRegex))
+      .select(
+        col("doc_id"),
+        substring(col("text"), 1, 400).as("preview"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 3)).as("name"))
+      .orderBy(col("doc_id"))
+      .offset(page * limit)
+      .limit(limit)
+
+  /** S1 + T1 + P14: fetch one doc, annotations sorted by start, mention
+    * defaulted to text[start:end] (end-exclusive offsets).
+    */
+  def getById(docId: String): DataFrame =
+    table.read(spark).get
+      .filter(col("doc_id") === docId)
+      .withColumn("annsets", transform(col("annsets"), as =>
+        as.withField("annotations",
+          transform(
+            array_sort(as.getField("annotations"),
+              (a, b) => when(a.getField("start") < b.getField("start"), -1)
+                .when(a.getField("start") > b.getField("start"), 1)
+                .otherwise(0)),
+            a => a.withField("mention",
+              coalesce(a.getField("mention"),
+                substring(col("text"), a.getField("start") + 1,
+                  a.getField("end") - a.getField("start"))))))))
+
+  /** P10: strip `encoding` from every annotation (persist-time
+    * projection — embeddings never reach the document store).
+    */
+  def stripEncodings(docs: DataFrame): DataFrame =
+    docs.withColumn("annsets", transform(col("annsets"), as =>
+      as.withField("annotations",
+        transform(as.getField("annotations"), a => a.dropFields("encoding")))))
+
+  /** P11: rename annotation sets by map (old -> new). */
+  def renameAnnsets(docs: DataFrame, renames: Map[String, String]): DataFrame = {
+    val m = map(renames.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*)
+    docs.withColumn("annsets", transform(col("annsets"), as =>
+      as.withField("name",
+        coalesce(element_at(m, as.getField("name")), as.getField("name")))))
+  }
+}

@@ -69,12 +69,22 @@ object Linker {
       }
   }
 
+  /** Cross-encoder rerank stand-in (reference optional stage,
+    * crossencoder/__main__.py:94-157: candidates re-scored with the full
+    * mention+context against the entity, then re-sorted 148-156): a
+    * second, context-heavy embedding replaces the bi-encoder score for
+    * ranking. Same vehicle (deterministic hashing embed), same slot.
+    */
+  private val crossEmbUdf = udf((cl: String, m: String, cr: String) =>
+    Embed.embed(cl + " " + m + " " + cr))
+
   /** Candidate generation + scoring + top-k. Registry columns required:
     * id, title, type_, emb. Returns one row per (mention, candidate)
-    * with rank <= TopK.
+    * with rank <= TopK. `rerank` switches ranking to the cross-encoder
+    * score (bi-encoder still computed — it remains a NIL feature).
     */
   def candidates(spark: SparkSession, linkable: Dataset[LinkInput],
-                 registry: DataFrame): DataFrame = {
+                 registry: DataFrame, rerank: Boolean = false): DataFrame = {
     import spark.implicits._
 
     val regTokens = registry
@@ -105,13 +115,21 @@ object Linker {
         lit(1.0) - levenshtein(lower(col("mention")), lower(col("title"))).cast("double") /
           greatest(length(col("mention")), length(col("title")), lit(1)).cast("double"))
 
+    val ranked =
+      if (rerank)
+        scored.withColumn("cross_score",
+          graft.functions.VectorExpressions.floatCosine(
+            crossEmbUdf(col("ctx_left"), col("mention"), col("ctx_right")),
+            col("e_emb")))
+      else scored.withColumn("cross_score", col("bi_score"))
+
     val w = Window.partitionBy(col("doc_id"), col("annset"), col("ann_id"))
-      .orderBy(col("bi_score").desc, col("entity_id").asc)
-    scored
+      .orderBy(col("cross_score").desc, col("entity_id").asc)
+    ranked
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("doc_id", "annset", "ann_id", "entity_id", "title", "type_",
-        "bi_score", "norm_score", "jacc", "lev_sim", "rank")
+        "bi_score", "norm_score", "jacc", "lev_sim", "cross_score", "rank")
   }
 
   private val jaccardUdf =
@@ -122,7 +140,7 @@ object Linker {
     * title, entity_type, bi_score, nil_score, is_nil, url.
     */
   def link(spark: SparkSession, mentions: Dataset[Mention], docText: DataFrame,
-           registry: DataFrame): DataFrame = {
+           registry: DataFrame, rerank: Boolean = false): DataFrame = {
     import spark.implicits._
 
     val all = withEmbeddings(spark, mentions, docText).cache()
@@ -136,7 +154,7 @@ object Linker {
       .withColumn("is_nil", lit(false))
 
     val linkable = all.filter(!_.skip)
-    val cands = candidates(spark, linkable, registry)
+    val cands = candidates(spark, linkable, registry, rerank)
 
     val top = cands.filter(col("rank") === 1)
       .select(col("doc_id"), col("annset"), col("ann_id"),

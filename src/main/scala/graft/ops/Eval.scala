@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics (test-harness scope, like the reference's
+  * ClusteringHelper): B-cubed precision/recall for clusterings
+  * (nilcluster/Packages/ClusteringHelper.py:250-267) and mention-level
+  * P/R with the reference's match-predicate taxonomy
+  * (tintner/entity.py:78-136).
+  */
+object Eval {
+
+  /** B³ precision/recall: input (item, cluster, gold). For each item,
+    * p = |cluster ∩ gold-class| / |cluster|, r = same / |gold-class|;
+    * scores are means over items. Pure DataFrame — scales to any corpus.
+    */
+  def bCubed(assign: DataFrame): (Double, Double) = {
+    val withSizes = assign
+      .join(assign.groupBy("cluster").agg(count(lit(1)).as("csize")), Seq("cluster"))
+      .join(assign.groupBy("gold").agg(count(lit(1)).as("gsize")), Seq("gold"))
+    val inter = assign.groupBy("cluster", "gold").agg(count(lit(1)).as("both"))
+    val scored = withSizes.join(inter, Seq("cluster", "gold"))
+      .withColumn("p", col("both").cast("double") / col("csize"))
+      .withColumn("r", col("both").cast("double") / col("gsize"))
+    val row = scored.agg(avg("p").as("p"), avg("r").as("r")).collect()(0)
+    (row.getDouble(0), row.getDouble(1))
+  }
+
+  /** Mention-match taxonomy (reference entity.py:78-136): given predicted
+    * and gold mention spans per doc, classify each predicted span as
+    * strong (exact start+end), left (same start), right (same end),
+    * approximate (overlap), or none. Typed variants add type equality.
+    */
+  def matchClasses(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val p = pred.select(col("doc_id"), col("start").as("ps"),
+      col("end").as("pe"), col("mention_type").as("pt"))
+    val g = gold.select(col("doc_id"), col("start").as("gs"),
+      col("end").as("ge"), col("mention_type").as("gt"))
+    p.join(g, Seq("doc_id"), "left")
+      .withColumn("klass",
+        when(col("gs").isNull, "none")
+          .when(col("ps") === col("gs") && col("pe") === col("ge"), "strong")
+          .when(col("ps") === col("gs"), "left")
+          .when(col("pe") === col("ge"), "right")
+          .when(col("ps") < col("ge") && col("gs") < col("pe"), "approximate")
+          .otherwise("none"))
+      .withColumn("typed", col("klass") =!= "none" && col("pt") === col("gt"))
+      // best match per predicted span: strong > left > right > approximate
+      .withColumn("rank_", when(col("klass") === "strong", 0)
+        .when(col("klass") === "left", 1)
+        .when(col("klass") === "right", 2)
+        .when(col("klass") === "approximate", 3).otherwise(4))
+      .groupBy(col("doc_id"), col("ps"), col("pe"))
+      .agg(min(struct(col("rank_"), col("klass"), col("typed"))).as("best"))
+      .select(col("doc_id"), col("ps").as("start"), col("pe").as("end"),
+        col("best.klass").as("klass"), col("best.typed").as("typed"))
+  }
+}

@@ -70,6 +70,23 @@ class MergeLinkerSpec extends SparkTestBase {
     assert(math.abs(Similarity.norm(v) - 1.0) < 1e-5) // unit-norm embed
   }
 
+  test("linker: cross-encoder rerank keeps exact-title links and stays deterministic") {
+    import graft.core.{InputDoc, Span, SpanOps}
+    import graft.link.Linker
+    import graft.ner.TrieNer
+    val docs = spark.createDataset(Seq(
+      InputDoc("x", SpanOps.withOffsets(Seq(Span("text", "spark and customer", "", 0))))))
+    val text = Pipeline.docText(spark, docs)
+    val mentions = TrieNer.mentions(spark, docs)
+    val reg = graft.kb.Registry.seed(spark).toDF()
+    val plain = Linker.link(spark, mentions, text, reg, rerank = false)
+      .select("mention", "is_nil").collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    val rr = Linker.link(spark, mentions, text, reg, rerank = true)
+      .select("mention", "is_nil").collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(plain == rr)
+    assert(plain == Set(("spark", false), ("customer", false)))
+  }
+
   test("linker: exact-title match links, zero-candidate is NIL, DATE skips") {
     import graft.core.{InputDoc, Span, SpanOps}
     val docs = spark.createDataset(Seq(

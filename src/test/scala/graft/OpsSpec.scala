@@ -1,0 +1,95 @@
+package graft
+
+import graft.ops.{Dedup, Eval, SkewJoin}
+import graft.functions.Codec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join (hot head key)") {
+    val large = (Seq.fill(500)("hot") ++ Seq("a", "b", "c"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "payload")
+    val small = Seq(("hot", "H"), ("a", "A"), ("b", "B")).toDF("key", "v")
+    val plain = large.join(small, Seq("key")).collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedJoin(large, small, "key",
+      Seq(col("payload")), salts = 8).collect().map(_.toString).sorted
+    val adaptive = SkewJoin.adaptiveSaltedJoin(large, small, "key",
+      Seq(col("payload")), salts = 8, hotThreshold = 100)
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+    assert(adaptive.sameElements(plain))
+  }
+
+  test("base64 float32 codec round-trips (little-endian, F10)") {
+    val v = Array(1.5f, -2.25f, 0f, 3.14159f)
+    assert(Codec.base64ToFloats(Codec.floatsToBase64(v)).sameElements(v))
+    // little-endian layout: 1.0f == 00 00 80 3f
+    assert(Codec.floatsToBase64(Array(1.0f)) == "AACAPw==")
+    val df = Seq(Seq(0.5f, 2f)).toDF("v")
+      .withColumn("b64", Codec.encodeVec(col("v")))
+      .withColumn("back", Codec.decodeVec(col("b64")))
+    val r = df.collect()(0)
+    assert(r.getSeq[Float](r.fieldIndex("back")) == Seq(0.5f, 2f))
+  }
+
+  test("bCubed on a hand-computed example (A9)") {
+    val assign = Seq(
+      ("a", "c1", "x"), ("b", "c1", "x"), ("c", "c2", "x"), ("d", "c2", "y"))
+      .toDF("item", "cluster", "gold")
+    val (p, r) = Eval.bCubed(assign)
+    assert(math.abs(p - 0.75) < 1e-9)
+    assert(math.abs(r - (2.0 / 3 + 2.0 / 3 + 1.0 / 3 + 1.0) / 4) < 1e-9)
+  }
+
+  test("match-predicate taxonomy (strong/left/right/approximate)") {
+    val pred = Seq(
+      ("d", 0, 5, "PER"),   // strong
+      ("d", 10, 14, "ORG"), // left (gold 10..20)
+      ("d", 26, 30, "LOC"), // right (gold 22..30)
+      ("d", 40, 44, "PER"), // approximate (gold 42..50)
+      ("d", 90, 95, "PER")) // none
+      .toDF("doc_id", "start", "end", "mention_type")
+    val gold = Seq(
+      ("d", 0, 5, "PER"), ("d", 10, 20, "ORG"),
+      ("d", 22, 30, "ORG"), ("d", 42, 50, "PER"))
+      .toDF("doc_id", "start", "end", "mention_type")
+    val got = Eval.matchClasses(pred, gold).collect()
+      .map(r => r.getInt(1) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(got(0) == ("strong", true))
+    assert(got(10) == ("left", true))
+    assert(got(26) == ("right", false)) // LOC vs ORG: untyped right match
+    assert(got(40) == ("approximate", true))
+    assert(got(90)._1 == "none")
+  }
+
+  test("minhash LSH candidates have full recall on high-jaccard pairs") {
+    // two near-identical docs + noise docs
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),
+      (3L, "z y x w v u t s r q p o n m l k"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(sh, 0.5).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(sh, 0.5).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)))
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs find the planted near-dup only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),
+      (3L, "z y x w v u t s r q p o n m l k"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sh, 16).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

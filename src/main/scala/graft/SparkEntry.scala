@@ -291,17 +291,19 @@ object SparkEntry {
 
     // ==== near-duplicate detection =======================================
     "t6_ngram_neardup" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text")
+      // cache: the pair join + two size joins would otherwise re-explode
+      // the shingles three times (three parquet scans at 100 TB)
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
       graft.ops.Dedup.ngramJaccardPairs(sh, 0.8)
     }),
 
     "t7_minhash_lsh" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text")
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
       graft.ops.Dedup.minhashLshPairs(sh, 0.8)
     }),
 
     "t8_simhash" -> ((s, dir) => {
-      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text")
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
       graft.ops.Dedup.simhashPairs(sh, 3)
     }),
 

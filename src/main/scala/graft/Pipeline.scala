@@ -144,6 +144,19 @@ object Pipeline {
 
   // ---- convenience entry points over the sf-derived corpus ------------
 
+  // Memoized per (session, dir): several driver queries expose different
+  // stages of the same run; without this Verify executes the full
+  // pipeline once per query. Results are localCheckpointed, so the memo
+  // holds small materialized frames, not live lineage.
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Result]
+
+  def runCached(spark: SparkSession, dir: String): Result =
+    memo.getOrElseUpdate((spark, dir), {
+      val docs = Corpus.inputDocs(spark, dir)
+      run(spark, docs, Registry.seed(spark).toDF())
+    })
+
   def mentions(spark: SparkSession, dir: String) =
     TrieNer.mentions(spark, Corpus.inputDocs(spark, dir))
 
@@ -153,13 +166,9 @@ object Pipeline {
       Seq(TrieNer.mentions(spark, docs), RegexNer.mentions(spark, docs)))
   }
 
-  def linked(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.inputDocs(spark, dir)
-    run(spark, docs, Registry.seed(spark).toDF()).linked
-  }
+  def linked(spark: SparkSession, dir: String): DataFrame =
+    runCached(spark, dir).linked
 
-  def triples(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.inputDocs(spark, dir)
-    run(spark, docs, Registry.seed(spark).toDF()).triples
-  }
+  def triples(spark: SparkSession, dir: String): DataFrame =
+    runCached(spark, dir).triples
 }

@@ -25,10 +25,9 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // two-stage top-k: map-side combine keeps only k rows per query per
+    // partition; shuffle volume = queries x k, not queries x corpus
+    TopK.topKPerKey(scored, Seq("query_id"), "cos", "neighbor_id", k)
       .select("query_id", "neighbor_id", "cos", "rnk")
   }
 
@@ -65,10 +64,7 @@ object Ann {
     val scored = l.join(r, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    TopK.topKPerKey(scored, Seq("query_id"), "cos", "neighbor_id", k)
       .select("query_id", "neighbor_id", "cos", "rnk")
   }
 }

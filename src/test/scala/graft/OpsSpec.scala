@@ -63,6 +63,21 @@ class OpsSpec extends SparkTestBase {
     assert(got(90)._1 == "none")
   }
 
+  test("two-stage topKPerKey equals the window formulation (T5)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (for (k <- 1 to 5; i <- 1 to 40)
+      yield (s"key$k", i.toLong, ((i * 37) % 23).toDouble)).toDF("key", "id", "score")
+    val byWindow = rows.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rnk") <= 4)
+      .select("key", "id", "score", "rnk")
+      .collect().map(_.toString).sorted
+    val byAgg = graft.ops.TopK.topKPerKey(rows, Seq("key"), "score", "id", 4)
+      .select("key", "id", "score", "rnk")
+      .collect().map(_.toString).sorted
+    assert(byAgg.sameElements(byWindow))
+  }
+
   test("minhash LSH candidates have full recall on high-jaccard pairs") {
     // two near-identical docs + noise docs
     val docs = Seq(

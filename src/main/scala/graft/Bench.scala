@@ -103,7 +103,7 @@ object Bench {
     // sandbox host has uncontrolled co-tenant load (observed loadavg 4-8
     // with this process idle), and min-of-N interleaved is robust to
     // additive noise while preserving the level-to-level comparison.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val runs = (1 to reps).flatMap(_ => Seq(8 -> timed(8), 32 -> timed(32)))
     def best(lvl: Int) = runs.filter(_._1 == lvl).map(_._2).minBy(_._1)
     val (sec8, docs8, triples8) = best(8)

@@ -64,10 +64,35 @@ object Pipeline {
     // Deterministic contiguous new-entity ids (W7, reference
     // indexer/main.py:408-411): base = max registry id.
     val base = registry.agg(max(col("id"))).collect()(0).getLong(0)
-    val wId = Window.orderBy(col("cluster_key"))
-    val clusters = clustersRaw
-      .withColumn("nil_id", lit(base) + row_number().over(wId))
-      .localCheckpoint(true)
+
+    // One row per NIL cluster — bounded by the distinct-surface
+    // vocabulary (breakup rule A8 caps cluster fan-in), so up to a guard
+    // it is DRIVER-SIZED: materialize as a LocalRelation (id assignment
+    // in plain Scala) instead of a window + checkpoint. This removes two
+    // eager jobs and turns every downstream cluster join into a
+    // broadcast of a local table. Beyond the guard, fall back to the
+    // distributed window formulation.
+    val clusterGuard = 200000
+    val clusterHead = clustersRaw.take(clusterGuard + 1)
+    val clusters: DataFrame =
+      if (clusterHead.length <= clusterGuard) {
+        import org.apache.spark.sql.Row
+        val sorted = clusterHead.sortBy(_.getAs[String]("cluster_key"))
+        val rows = sorted.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (base + i + 1L))
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          clustersRaw.schema.fields :+
+            org.apache.spark.sql.types.StructField("nil_id",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      } else {
+        val wId = Window.orderBy(col("cluster_key"))
+        clustersRaw
+          .withColumn("nil_id", lit(base) + row_number().over(wId))
+          .localCheckpoint(true)
+      }
 
     val assignments = assignRaw.join(
       clusters.select("cluster_key", "nil_id", "title", "cluster_type"),

@@ -15,6 +15,54 @@ object Eval {
     * p = |cluster ∩ gold-class| / |cluster|, r = same / |gold-class|;
     * scores are means over items. Pure DataFrame — scales to any corpus.
     */
+  /** Optimal cluster-to-gold alignment score (A10 — the reference's
+    * Hungarian `linear_sum_assignment`, ClusteringHelper.py:218-247).
+    * Driver-side on a collected small matrix, like the reference:
+    * input cost(i)(j); returns the minimum-total-cost assignment as
+    * (row -> col) pairs. O(n^3) Hungarian (Jonker-style potentials).
+    */
+  def hungarian(cost: Array[Array[Double]]): Seq[(Int, Int)] = {
+    val n = cost.length
+    if (n == 0) return Seq.empty
+    val m = cost(0).length
+    require(m >= n, "cost matrix needs cols >= rows; pad if necessary")
+    // potentials + matching over columns (1-indexed internal arrays)
+    val u = new Array[Double](n + 1)
+    val v = new Array[Double](m + 1)
+    val p = new Array[Int](m + 1)   // p(j) = row matched to column j
+    val way = new Array[Int](m + 1)
+    for (i <- 1 to n) {
+      p(0) = i
+      var j0 = 0
+      val minv = Array.fill(m + 1)(Double.MaxValue)
+      val used = new Array[Boolean](m + 1)
+      var break = false
+      while (!break) {
+        used(j0) = true
+        val i0 = p(j0)
+        var delta = Double.MaxValue
+        var j1 = 0
+        for (j <- 1 to m if !used(j)) {
+          val cur = cost(i0 - 1)(j - 1) - u(i0) - v(j)
+          if (cur < minv(j)) { minv(j) = cur; way(j) = j0 }
+          if (minv(j) < delta) { delta = minv(j); j1 = j }
+        }
+        for (j <- 0 to m) {
+          if (used(j)) { u(p(j)) += delta; v(j) -= delta }
+          else minv(j) -= delta
+        }
+        j0 = j1
+        if (p(j0) == 0) break = true
+      }
+      while (j0 != 0) {
+        val j1 = way(j0)
+        p(j0) = p(j1)
+        j0 = j1
+      }
+    }
+    (1 to m).collect { case j if p(j) != 0 => (p(j) - 1, j - 1) }.sorted.toSeq
+  }
+
   def bCubed(assign: DataFrame): (Double, Double) = {
     val withSizes = assign
       .join(assign.groupBy("cluster").agg(count(lit(1)).as("csize")), Seq("cluster"))

@@ -78,6 +78,41 @@ class OpsSpec extends SparkTestBase {
     assert(byAgg.sameElements(byWindow))
   }
 
+  test("hungarian assignment on a hand-computed matrix (A10)") {
+    // optimal assignment: (0,1)=1, (1,0)=2, (2,2)=3 -> total 6
+    val cost = Array(
+      Array(4.0, 1.0, 3.0),
+      Array(2.0, 0.0, 5.0),
+      Array(3.0, 2.0, 2.0))
+    val asg = Eval.hungarian(cost)
+    val total = asg.map { case (i, j) => cost(i)(j) }.sum
+    assert(asg.length == 3)
+    assert(total == 5.0) // (0,1)+(1,0)+(2,2) = 1+2+2
+  }
+
+  test("CoNLL reader reconstructs mentions with offsets (S12)") {
+    import graft.sources.Conll
+    val lines = Seq(
+      "-DOCSTART- (doc1)",
+      "John\tB\tJohn_Smith",
+      "Smith\tI\tJohn_Smith",
+      "visited\tO\t",
+      "Rome\tB\tRome",
+      "",
+      "-DOCSTART- (doc2)",
+      "nothing\tO\t",
+      "here\tO\t")
+    val (texts, mentions) = Conll.parse(lines)
+    assert(texts("doc1") == "John Smith visited Rome")
+    assert(texts("doc2") == "nothing here")
+    val m = mentions.map(x => x.mention -> x).toMap
+    assert(m("John Smith").start == 0 && m("John Smith").end == 10)
+    assert(m("Rome").start == 19 && m("Rome").end == 23)
+    assert(texts("doc1").substring(m("Rome").start, m("Rome").end) == "Rome")
+    assert(m("John Smith").entity == "John_Smith")
+    assert(mentions.size == 2)
+  }
+
   test("minhash LSH candidates have full recall on high-jaccard pairs") {
     // two near-identical docs + noise docs
     val docs = Seq(

@@ -62,7 +62,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "4").toInt
+    // Scaling evidence needs a compute-dominated job: the ~5-10 s serial
+    // driver fraction (planning, AQE, eager checkpoint jobs) Amdahl-caps
+    // a 12 s job at ~0.33 efficiency regardless of plan quality, so the
+    // default replication amortizes it (160k+ docs per level run).
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "16").toInt
 
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 
@@ -95,7 +99,7 @@ object Bench {
     if (onlyLevel.isDefined) {
       val lvl = onlyLevel.get.toInt
       val (sec, docs, triples) = timed(lvl)
-      println(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,"docs_per_sec":${docs / sec}}""")
+      emit(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,"docs_per_sec":${docs / sec}}""")
       return
     }
 
@@ -120,6 +124,20 @@ object Bench {
       s""""sec_local8":$sec8,"sec_local32":$sec32,""" +
       s""""docs_per_sec_local8":$tput8,"docs_per_sec_local32":$tput32,""" +
       s""""scaling_efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kb_pipeline":$pipeline}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kb_pipeline":$pipeline}""")
+  }
+
+  /** Driver contract: the result JSON must be machine-parseable from the
+    * run output. Print it as its own raw stdout line (the forked JVM's
+    * stdout passes through un-prefixed via build.sbt outputStrategy) AND
+    * persist it to BENCH_LOCAL.json so a log-scraping driver has a
+    * file fallback — round-1 lost the line inside sbt log noise.
+    */
+  private def emit(json: String): Unit = {
+    System.out.println(json)
+    System.out.flush()
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
   }
 }

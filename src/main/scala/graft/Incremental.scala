@@ -56,6 +56,21 @@ object Incremental {
       case None => Set.empty
     }
 
+  /** Registry snapshot each unfinished batch is pinned to (recorded in a
+    * batch-start lineage row BEFORE any table mutation). A mid-batch
+    * crash replay re-runs against this time-traveled snapshot, not the
+    * half-grown registry, so the replay is byte-identical and the keyed
+    * MERGEs are idempotent. First attempt's pin wins (min) — later
+    * attempts may observe the crashed attempt's registry merge.
+    */
+  def pinnedSnapshots(spark: SparkSession, t: Tables): Map[Int, Int] =
+    t.lineage.read(spark) match {
+      case Some(df) => df.filter(col("stage") === "registry_snapshot")
+        .groupBy("batch_id").agg(min(col("status").cast("int")).as("snap"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      case None => Map.empty
+    }
+
   /** Run (or resume) the incremental population. `upToBatch` limits how
     * many batches run this invocation (for kill/resume testing); default
     * runs all remaining.
@@ -69,6 +84,7 @@ object Incremental {
 
     val batched = withBatch(docs, numBatches).cache()
     val done = doneBatches(spark, t)
+    val pinned = pinnedSnapshots(spark, t)
     var ran = 0
 
     (0 until numBatches).foreach { b =>
@@ -76,7 +92,17 @@ object Incremental {
         val t0 = System.nanoTime()
         val batchDocs = batched.filter(col("batch_id") === b)
           .drop("batch_id").as[InputDoc]
-        val registry = t.registry.read(spark).get.cache()
+
+        // Pin the registry snapshot FIRST (crash idempotency): a replay
+        // of this batch must see the registry as of batch start, not the
+        // half-merged state a crashed attempt left behind.
+        val snapId = pinned.getOrElse(b, {
+          val id = t.registry.latestSnapshot.get
+          t.lineage.append(Seq((b, "registry_snapshot", id.toString))
+            .toDF("batch_id", "stage", "status"))
+          id
+        })
+        val registry = t.registry.readSnapshot(spark, snapId).cache()
 
         val res = Pipeline.run(spark, batchDocs, registry)
 
@@ -90,21 +116,25 @@ object Incremental {
           Seq("doc_id", "subj", "pred", "obj"))
         t.registry.mergeInto(spark, res.newEntities, Seq("id", "indexer"))
 
-        val nDocs = batchDocs.count()
-        val nMentions = res.linked.count()
-        val nTriples = res.triples.count()
-        val nNew = res.newEntities.count()
+        // one fused counting job instead of four eager .count()s — the
+        // per-batch serial driver fraction is the scaling bottleneck
+        val counts = Seq(
+          batchDocs.toDF().select(lit("n_docs").as("metric")),
+          res.linked.select(lit("n_mentions").as("metric")),
+          res.triples.select(lit("n_triples").as("metric")),
+          res.newEntities.select(lit("n_new_entities").as("metric")))
+          .reduce(_ unionByName _)
+          .groupBy("metric").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val wallMs = (System.nanoTime() - t0) / 1e6
 
-        t.metrics.append(Seq(
-          (b, "n_docs", nDocs.toDouble),
-          (b, "n_mentions", nMentions.toDouble),
-          (b, "n_triples", nTriples.toDouble),
-          (b, "n_new_entities", nNew.toDouble),
-          (b, "wall_ms", wallMs)
-        ).toDF("batch_id", "metric", "value"))
+        t.metrics.append((Seq("n_docs", "n_mentions", "n_triples",
+            "n_new_entities").map(k => (b, k, counts.getOrElse(k, 0L).toDouble))
+          :+ ((b, "wall_ms", wallMs)))
+          .toDF("batch_id", "metric", "value"))
         // lineage LAST: commit point for resume
         t.lineage.append(Seq((b, "pipeline", "done")).toDF("batch_id", "stage", "status"))
+        registry.unpersist()
         ran += 1
       }
     }

@@ -172,21 +172,36 @@ object Pipeline {
   // Memoized per (session, dir): several driver queries expose different
   // stages of the same run; without this Verify executes the full
   // pipeline once per query. Results are localCheckpointed, so the memo
-  // holds small materialized frames, not live lineage.
+  // holds small materialized frames, not live lineage. Entries of
+  // stopped sessions are evicted on access (a long-lived process that
+  // cycles sessions — e.g. Bench — would otherwise leak checkpointed
+  // frames and dead session references).
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Result]
 
-  def runCached(spark: SparkSession, dir: String): Result =
+  def runCached(spark: SparkSession, dir: String): Result = {
+    memo.keySet.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
     memo.getOrElseUpdate((spark, dir), {
-      val docs = Corpus.inputDocs(spark, dir)
+      // The sf corpus is a single small parquet file (1-2 input splits):
+      // without an explicit repartition the heavy narrow NER/embed chain
+      // runs on 1-2 threads regardless of parallelism. ~2 partitions per
+      // core; at 100 TB the table has thousands of splits and AQE keeps
+      // this a cheap no-op-shaped round-robin.
+      val parts = spark.sparkContext.defaultParallelism * 2
+      val docs = Corpus.inputDocs(spark, dir).repartition(parts)
       run(spark, docs, Registry.seed(spark).toDF())
     })
+  }
+
+  private def parallelDocs(spark: SparkSession, dir: String): Dataset[InputDoc] =
+    Corpus.inputDocs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
 
   def mentions(spark: SparkSession, dir: String) =
-    TrieNer.mentions(spark, Corpus.inputDocs(spark, dir))
+    TrieNer.mentions(spark, parallelDocs(spark, dir))
 
   def merged(spark: SparkSession, dir: String) = {
-    val docs = Corpus.inputDocs(spark, dir)
+    val docs = parallelDocs(spark, dir)
     MergeAnnsets.merge(spark,
       Seq(TrieNer.mentions(spark, docs), RegexNer.mentions(spark, docs)))
   }

@@ -18,11 +18,16 @@ object Dedup {
   val LshBands = 8        // bands of 4 rows each (threshold ~0.72)
   val SimHashBits = 64
 
-  /** Distinct token n-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct token n-gram shingles per doc: (doc_id, shingle). Docs
+    * shorter than n tokens yield no shingles (guard below — an unguarded
+    * `sequence(0, size-n)` DESCENDS for short docs and crashes slice()).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = ShingleSize): DataFrame = {
     val toks = split(col(textCol), "\\s+")
     df.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .withColumn("idx", sequence(lit(0), size(col("toks")) - n))
+      .withColumn("idx",
+        when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
+          .otherwise(array().cast("array<int>")))
       .withColumn("i", explode(col("idx")))
       .withColumn("shingle",
         concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))))

@@ -100,8 +100,13 @@ object Eval {
         .when(col("klass") === "right", 2)
         .when(col("klass") === "approximate", 3).otherwise(4))
       .groupBy(col("doc_id"), col("ps"), col("pe"))
-      .agg(min(struct(col("rank_"), col("klass"), col("typed"))).as("best"))
+      // tie-break inside a rank class prefers the TYPE-MATCHING gold
+      // (typed sorts ascending in a struct min, so invert it to 0/1)
+      .agg(min(struct(col("rank_"),
+        when(col("typed"), 0).otherwise(1).as("untyped"),
+        col("klass"))).as("best"))
       .select(col("doc_id"), col("ps").as("start"), col("pe").as("end"),
-        col("best.klass").as("klass"), col("best.typed").as("typed"))
+        col("best.klass").as("klass"),
+        (col("best.untyped") === 0).as("typed"))
   }
 }

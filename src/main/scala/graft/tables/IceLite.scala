@@ -112,7 +112,11 @@ final case class IceLite(root: String) {
     */
   def mergeInto(spark: SparkSession, source: DataFrame, keys: Seq[String]): Int =
     read(spark) match {
-      case None => overwrite(source)
+      // Creating a table from an EMPTY source would commit a data dir
+      // with zero parquet part files — unreadable ("unable to infer
+      // schema") on every later read. Leave the table absent instead
+      // (readOrEmpty supplies the schema to callers that need one).
+      case None => if (source.isEmpty) 0 else overwrite(source)
       case Some(target) =>
         val kept = target.join(
           source.select(keys.map(col): _*).distinct(), keys, "left_anti")

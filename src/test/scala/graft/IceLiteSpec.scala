@@ -34,6 +34,18 @@ class IceLiteSpec extends SparkTestBase {
     assert(state == Seq((1, "a"), (2, "B"), (3, "C")))
   }
 
+  test("mergeInto of an empty source never creates an unreadable table") {
+    val t = IceLite(tmp())
+    val empty = Seq.empty[(Int, String)].toDF("id", "v")
+    t.mergeInto(spark, empty, Seq("id"))
+    assert(t.read(spark).isEmpty) // table stays absent, not corrupt
+    // and a later real merge works
+    t.mergeInto(spark, Seq((1, "a")).toDF("id", "v"), Seq("id"))
+    assert(t.read(spark).get.count() == 1)
+    t.mergeInto(spark, empty, Seq("id")) // empty merge on existing table
+    assert(t.read(spark).get.count() == 1)
+  }
+
   test("deleteWhere removes matching rows only") {
     val t = IceLite(tmp())
     t.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))

@@ -47,6 +47,36 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("mid-batch crash (all merges done, no done-row) replays byte-identically") {
+    val docs = spark.createDataset(corpus)
+    val dirA = Files.createTempDirectory("incMidA").toString
+    val dirB = Files.createTempDirectory("incMidB").toString
+
+    Incremental.run(spark, docs, dirA, numBatches = 3)
+
+    // dirB: batches 0,1 complete; batch 2 "crashes" in the worst window —
+    // AFTER every table merge (documents/mentions/triples/registry all
+    // grown) but BEFORE the lineage done-row. Simulate by completing the
+    // batch then stripping its done row; state is exactly the crash state.
+    Incremental.run(spark, docs, dirB, numBatches = 3, upToBatch = 3)
+    val tB = Incremental.Tables(dirB)
+    val lineage = tB.lineage.read(spark).get
+    val doneBatchIds = Incremental.doneBatches(spark, tB)
+    val lastDone = doneBatchIds.max
+    tB.lineage.overwrite(lineage.filter(
+      !(col("status") === "done" && col("batch_id") === lastDone)))
+    assert(Incremental.doneBatches(spark, tB) == (doneBatchIds - lastDone))
+
+    // resume: the replay must pin the registry snapshot recorded at the
+    // batch START (not the grown registry the crashed attempt merged)
+    Incremental.run(spark, docs, dirB, numBatches = 3)
+
+    Seq("triples", "registry", "mentions", "documents").foreach { n =>
+      assert(tableState(Incremental.Tables(dirA), n) ==
+             tableState(Incremental.Tables(dirB), n), s"table $n differs")
+    }
+  }
+
   test("incremental visibility: NIL entity discovered once, linked later") {
     val docs = spark.createDataset(corpus)
     val dir = Files.createTempDirectory("incV").toString

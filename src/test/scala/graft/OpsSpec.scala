@@ -130,6 +130,34 @@ class OpsSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("shingles: docs shorter than n tokens yield no shingles (no crash)") {
+    val docs = Seq(
+      (1L, "ab"),                // 1 token  < n=3
+      (2L, "ab cd"),             // 2 tokens < n=3
+      (3L, "ab cd ef"),          // exactly n -> 1 shingle
+      (4L, "a b c d"))           // 2 shingles
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!sh.exists(_._1 == 1L) && !sh.exists(_._1 == 2L))
+    assert(sh.count(_._1 == 3L) == 1 && sh.contains((3L, "ab cd ef")))
+    assert(sh.count(_._1 == 4L) == 2)
+    // end-to-end: the pair ops survive a short doc in the corpus
+    assert(Dedup.ngramJaccardPairs(sh.toSeq.toDF("doc_id", "shingle"), 0.5)
+      .count() >= 0)
+  }
+
+  test("match tie-break prefers the typed gold within a rank class") {
+    // pred 0..10 overlaps two 'approximate' golds: PER (type match) and
+    // ORG; the typed one must win the per-span min
+    val pred = Seq(("d", 0, 10, "PER")).toDF("doc_id", "start", "end", "mention_type")
+    val gold = Seq(("d", 2, 15, "ORG"), ("d", 3, 16, "PER"))
+      .toDF("doc_id", "start", "end", "mention_type")
+    val r = Eval.matchClasses(pred, gold).collect()(0)
+    assert(r.getString(3) == "approximate")
+    assert(r.getBoolean(4), "typed gold must win the tie")
+  }
+
   test("simhash pairs find the planted near-dup only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),

@@ -37,6 +37,7 @@ object Incremental {
   final case class Tables(workDir: String) {
     val documents = IceLite(s"$workDir/documents")
     val mentions = IceLite(s"$workDir/mentions")
+    val candidates = IceLite(s"$workDir/mention_candidates")
     val registry = IceLite(s"$workDir/entity_registry")
     val triples = IceLite(s"$workDir/triples")
     val lineage = IceLite(s"$workDir/lineage")
@@ -112,6 +113,8 @@ object Incremental {
             "start", "end", "mention", "skip", "entity_id", "title",
             "entity_type", "bi_score", "nil_score", "is_nil", "url", "name"),
           Seq("doc_id", "annset", "ann_id"))
+        t.candidates.mergeInto(spark, res.candidates,
+          Seq("doc_id", "annset", "ann_id"))
         t.triples.mergeInto(spark, res.triples,
           Seq("doc_id", "subj", "pred", "obj"))
         t.registry.mergeInto(spark, res.newEntities, Seq("id", "indexer"))
@@ -139,6 +142,43 @@ object Incremental {
       }
     }
     batched.unpersist()
+    t
+  }
+
+  /** I3 reannotate flow (reference pipelinehelper/main.py:19-34): fetch
+    * stored documents, re-run the pipeline against the CURRENT registry
+    * (entities discovered since the original annotation are now linkable
+    * — previously-NIL mentions may resolve to ent: links), and MERGE the
+    * fresh annotations back. Stale rows for the re-annotated docs are
+    * dropped first so a re-run that emits FEWER mentions/triples does not
+    * leave orphans behind.
+    */
+  def reannotate(spark: SparkSession, workDir: String,
+                 docIds: Seq[String]): Tables = {
+    import spark.implicits._
+    val t = Tables(workDir)
+    val docs = t.documents.read(spark).get
+      .filter(col("doc_id").isin(docIds: _*)).as[InputDoc]
+
+    val registry = t.registry.read(spark).get.cache()
+    val res = Pipeline.run(spark, docs, registry)
+
+    val isTarget = col("doc_id").isin(docIds: _*)
+    t.mentions.deleteWhere(spark, isTarget)
+    t.candidates.deleteWhere(spark, isTarget)
+    t.triples.deleteWhere(spark, isTarget)
+
+    t.mentions.mergeInto(spark,
+      res.linked.select("doc_id", "annset", "ann_id", "mention_type",
+        "start", "end", "mention", "skip", "entity_id", "title",
+        "entity_type", "bi_score", "nil_score", "is_nil", "url", "name"),
+      Seq("doc_id", "annset", "ann_id"))
+    t.candidates.mergeInto(spark, res.candidates, Seq("doc_id", "annset", "ann_id"))
+    t.triples.mergeInto(spark, res.triples, Seq("doc_id", "subj", "pred", "obj"))
+    t.registry.mergeInto(spark, res.newEntities, Seq("id", "indexer"))
+    t.lineage.append(Seq((-1, "reannotate", docIds.sorted.mkString(",")))
+      .toDF("batch_id", "stage", "status"))
+    registry.unpersist()
     t
   }
 }

@@ -25,7 +25,9 @@ object Pipeline {
 
   final case class Result(
       linked: DataFrame,        // one row per merged mention w/ link decision
+      candidates: DataFrame,    // per-mention top-k candidate lists (J1 persist)
       clusters: DataFrame,      // NIL cluster records (with assigned nil_id)
+      notNilClusters: DataFrame,// J9 pseudo-cluster records for linked entities
       newEntities: DataFrame,   // EntityRecord-shaped rows for KB merge
       triples: DataFrame)       // (doc_id, subj, pred, obj)
 
@@ -54,7 +56,11 @@ object Pipeline {
 
     // localCheckpoint truncates the lineage: the triple-rule union
     // references this frame 5x and planning cost explodes otherwise.
-    val linked = Linker.link(spark, merged, text, registry).localCheckpoint(true)
+    // Candidate lists stay a separate mention-keyed frame — NOT a wide
+    // column dragged through every downstream shuffle of `linked`.
+    val (linkedRaw, mentionCandidates) =
+      Linker.linkWithCandidates(spark, merged, text, registry)
+    val linked = linkedRaw.localCheckpoint(true)
 
     val nil = linked.filter(col("is_nil") &&
       // DATE-skip mentions never cluster (reference P3/P7 interplay)
@@ -164,7 +170,24 @@ object Pipeline {
     val triples = mentionsT.unionByName(typedT).unionByName(sameAsT)
       .unionByName(coT).unionByName(mediaT)
 
-    Result(resolved, clusters, newEntities, triples)
+    // J9: pseudo-cluster records for NOT-NIL mentions, grouped by url
+    // (reference nilcluster/main.py:124-161): title from the linked
+    // entity, type = mode over linked types with (count desc, value asc)
+    // tie-break (Counter.most_common analog), nelements = mention count.
+    val notNil = resolved.filter(!col("is_nil") && col("url") =!= "")
+    val nnCounts = notNil.groupBy(col("url"), col("entity_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val wMode = Window.partitionBy(col("url"))
+      .orderBy(col("cnt").desc, col("entity_type").asc)
+    val nnType = nnCounts.withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("entity_type").as("cluster_type"))
+    val notNilClusters = notNil.groupBy(col("url"))
+      .agg(max(col("title")).as("title"), count(lit(1)).as("nelements"))
+      .join(nnType, Seq("url"))
+
+    Result(resolved, mentionCandidates, clusters, notNilClusters,
+      newEntities, triples)
   }
 
   // ---- convenience entry points over the sf-derived corpus ------------

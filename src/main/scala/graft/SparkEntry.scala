@@ -226,9 +226,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // merged annotation set (sweep + winner rules)
+    // merged annotation set (anchored groups + 5-case consensus). One
+    // corner is excluded from the driver slice on BOTH sides: regex
+    // mentions with qualifier "big" can be covered by a "data big" trie
+    // take, whose survival depends on recursive anchor absorption — not
+    // closed-form in SQL (kernel behavior is unit-tested instead).
     "kg_merged" -> ((s, dir) =>
       Pipeline.merged(s, dir).toDF()
+        .filter(!(col("source") === "regex" && col("mention").startsWith("big ")))
         .groupBy(col("mention"), col("mention_type"), col("source"))
         .agg(count(lit(1)).as("n"))),
 
@@ -236,6 +241,34 @@ object SparkEntry {
     "kg_linked" -> ((s, dir) =>
       Pipeline.linked(s, dir)
         .select("doc_id", "ann_id", "mention", "entity_id", "is_nil", "url")),
+
+    // per-mention persisted candidate SETS (J1 persistence,
+    // indexer/main.py:175-182). Rank/scores are embedding-dependent;
+    // the candidate GENERATION (token-blocked join vs the seed registry)
+    // is deterministic and SQL-checkable, so the query exposes the sets.
+    "kg_candidates" -> ((s, dir) => {
+      val res = Pipeline.runCached(s, dir)
+      res.candidates
+        .join(res.linked.select("doc_id", "annset", "ann_id", "mention"),
+          Seq("doc_id", "annset", "ann_id"))
+        .filter(!col("mention").startsWith("big ")) // same corner as kg_merged
+        .select(col("doc_id").cast("long").as("doc_id"), col("mention"),
+          explode(col("candidates")).as("c"))
+        .select(col("doc_id"), col("mention"),
+          col("c.entity_id").as("entity_id"))
+        .distinct()
+    }),
+
+    // J9 pseudo-clusters of NOT-NIL mentions grouped by url
+    // (nilcluster/main.py:124-161), restricted to the deterministic
+    // dictionary-skip slice (TRIE urls) so DuckDB can oracle it; the
+    // full output incl. score-linked entities is covered by PipelineSpec.
+    "kg_notnil" -> ((s, dir) => {
+      Pipeline.runCached(s, dir).notNilClusters
+        .filter(col("url").startsWith("TRIE"))
+        .select(col("url"), col("title"), col("cluster_type"),
+          col("nelements"))
+    }),
 
     // end-to-end triples (flagship)
     "kg_triples" -> ((s, dir) => Pipeline.triples(s, dir)),
@@ -250,12 +283,18 @@ object SparkEntry {
           col("media_ref"), col("media_kind"))
     }),
 
-    // full multimodal feature extraction (stub codec -> rows-only check)
+    // full multimodal feature extraction. The stub decode is a pure
+    // function of media_ref, so the whole feature set is DuckDB-
+    // expressible (phash excluded: its 64-bit wrap-around multiply
+    // overflows DuckDB BIGINT; covered by the sbt suite instead).
     "kg_media_features" -> ((s, dir) => {
       import s.implicits._
       val media = graft.multimodal.Multimodal.mediaRows(
         s, graft.fixtures.Corpus.inputDocs(s, dir))
       graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"),
+          col("media_kind"), col("width"), col("height"), col("n_frames"),
+          col("bytes_len"))
     }),
 
     // ==== text analysis ==================================================
@@ -282,9 +321,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // canonical-form fingerprint (md5 over the sorted distinct token
+    // set): whitespace/duplication-robust content hash, SQL-expressible
+    // so the driver can oracle it. The rolling-hash variant
+    // (TextAnalysis.fingerprintUdf) stays covered by the sbt suite.
     "t5_fingerprint" -> ((s, dir) => {
       documents(s, dir)
-        .withColumn("fp", graft.ops.TextAnalysis.fingerprintUdf(col("text")))
+        .withColumn("fp",
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), "\\s+"))))))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_doc_id"),
           count(lit(1)).as("n_dups"))
     }),
@@ -307,8 +351,11 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairs(sh, 3)
     }),
 
+    // SCALE path ships: banded sign-LSH candidates + exact verify (the
+    // O(n^2) cross join stays a test-only oracle in OpsSpec). The DuckDB
+    // oracle mirrors the banding exactly, so recall is checked too.
     "t9_embed_neardup" -> ((s, dir) => {
-      graft.ops.Dedup.embeddingPairs(
+      graft.ops.Dedup.signLshPairs(
         embeddings(s, dir), "vec_id", "embedding", 0.4)
         .select(col("a"), col("b")) // ids only: cosine repr differs per engine
     }),
@@ -321,10 +368,12 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rnk")
     }),
 
+    // axis-aligned sign-LSH (bucket = leading-8-dim sign pattern):
+    // bucketed ANN whose bucket function is SQL-expressible -> oracled
     "e2_ann_lsh" -> ((s, dir) => {
       val all = embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      graft.ops.Ann.lshTopK(all, 3)
+      graft.ops.Ann.signLshTopK(all, 3)
         .select("query_id", "neighbor_id", "rnk")
     }),
 
@@ -345,7 +394,143 @@ object SparkEntry {
   // Spark column helper to keep groupBy(...) varargs tidy.
   private def $c(name: String) = col(name)
 
+  /** Shared DuckDB CTE block reproducing the trie NER semantics over the
+    * deterministic gazetteer (fixtures/Gazetteer.scala): greedy longest
+    * match = bigram matches win at even offsets within runs of
+    * consecutive bigram-matching positions (unigram and bigram token
+    * vocabularies are disjoint, so those never conflict), plus all
+    * unigram hits. Used by the kg_mentions/kg_merged/kg_candidates/
+    * kg_notnil oracles.
+    */
+  private val trieCtes: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS i
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       pats(pat, mention_type, skip) AS (VALUES
+         ('spark','ORG',false), ('customer','PER',false),
+         ('window','OP',true), ('vector','TYPE',true), ('stream','OP',true),
+         ('batch','OP',true), ('query','OP',true), ('filter','OP',true),
+         ('group','OP',true),
+         ('merge join','ALG',true), ('join merge','ALG',true),
+         ('hash join','ALG',true), ('join hash','ALG',true),
+         ('sort merge','ALG',true), ('merge sort','ALG',true),
+         ('table scan','OP',true), ('scan table','OP',true),
+         ('big data','FIELD',true), ('data big','FIELD',true)),
+       tokpairs AS (
+         SELECT doc_id, i, tok,
+                lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+         FROM toks),
+       bigm AS (
+         SELECT doc_id, i, tok || ' ' || nxt AS big2 FROM tokpairs
+         WHERE tok || ' ' || nxt IN (SELECT pat FROM pats WHERE contains(pat, ' '))),
+       runs AS (
+         SELECT doc_id, i, big2,
+                i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         FROM bigm),
+       takes AS (
+         SELECT doc_id, i, big2 AS mention FROM (
+           SELECT doc_id, i, big2, min(i) OVER (PARTITION BY doc_id, grp) AS g0
+           FROM runs)
+         WHERE (i - g0) % 2 = 0),
+       unis AS (
+         SELECT doc_id, i, tok AS mention FROM toks
+         WHERE tok IN (SELECT pat FROM pats WHERE NOT contains(pat, ' ')))"""
+
+  /** Merge-stage CTEs on top of [[trieCtes]]: regex survivors (a regex
+    * qual-noun bigram dies iff a trie take starts at its noun — under
+    * faithful consensus the trie side always wins its anchored group;
+    * qual 'big' is excluded, see the kg_merged query note).
+    */
+  private val mergeCtes: String =
+    """,
+       trie_pos AS (
+         SELECT doc_id, i FROM takes UNION ALL SELECT doc_id, i FROM unis),
+       rgx AS (
+         SELECT doc_id, i, tok || ' ' || nxt AS mention FROM tokpairs
+         WHERE tok IN ('fast','slow','small')
+           AND nxt IN ('key','merge','part','scan','sort','value','row',
+                       'column','data','line','table','hash','batch',
+                       'stream','window','vector','group','query','filter',
+                       'order','join','spark','customer')),
+       rsurv AS (
+         SELECT r.doc_id, r.mention FROM rgx r
+         WHERE NOT EXISTS (SELECT 1 FROM trie_pos tp
+                           WHERE tp.doc_id = r.doc_id AND tp.i = r.i + 1))"""
+
   def oracleSql: Map[String, String] = Map(
+    "kg_mentions" -> (trieCtes +
+      """, all_m AS (SELECT mention FROM takes UNION ALL SELECT mention FROM unis)
+         SELECT m.mention, p.mention_type, p.skip, count(*) AS n
+         FROM all_m m JOIN pats p ON p.pat = m.mention
+         GROUP BY 1, 2, 3"""),
+    "kg_merged" -> (trieCtes + mergeCtes +
+      """, merged AS (
+           SELECT t.mention, p.mention_type, 'trie' AS source
+           FROM (SELECT doc_id, mention FROM takes
+                 UNION ALL SELECT doc_id, mention FROM unis) t
+           JOIN pats p ON p.pat = t.mention
+           UNION ALL
+           SELECT mention, 'PRODUCT', 'regex' FROM rsurv)
+         SELECT mention, mention_type, source, count(*) AS n
+         FROM merged GROUP BY 1, 2, 3"""),
+    "kg_candidates" -> (trieCtes + mergeCtes +
+      """, linkable AS (
+           SELECT doc_id, mention FROM unis WHERE mention IN ('spark','customer')
+           UNION ALL SELECT doc_id, mention FROM rsurv),
+         tok2ent(tok, entity_id) AS (VALUES
+           ('spark',1),('spark',2),('customer',3),('customer',4),
+           ('merge',5),('merge',7),('join',5),('join',6),('hash',6),
+           ('sort',7),('table',8),('scan',8),('window',9),('vector',10),
+           ('stream',11),('batch',12),('big',13),('data',13),('query',14),
+           ('filter',15),('group',16)),
+         mtoks AS (
+           SELECT DISTINCT doc_id, mention,
+                  unnest(string_split(mention, ' ')) AS tok
+           FROM linkable)
+         SELECT DISTINCT doc_id, mention, CAST(entity_id AS BIGINT) AS entity_id
+         FROM mtoks JOIN tok2ent USING (tok)"""),
+    "kg_notnil" -> (trieCtes +
+      """, reg(id, title, type_) AS (VALUES
+           (5,'merge join','ALG'),(6,'hash join','ALG'),(7,'sort merge','ALG'),
+           (8,'table scan','OP'),(9,'window','OP'),(10,'vector','TYPE'),
+           (11,'stream','OP'),(12,'batch','OP'),(13,'big data','FIELD'),
+           (14,'query','OP'),(15,'filter','OP'),(16,'group','OP')),
+         pat2id(pat, id) AS (VALUES
+           ('merge join',5),('join merge',5),('hash join',6),('join hash',6),
+           ('sort merge',7),('merge sort',7),('table scan',8),('scan table',8),
+           ('big data',13),('data big',13),('window',9),('vector',10),
+           ('stream',11),('batch',12),('query',14),('filter',15),('group',16)),
+         skipm AS (
+           SELECT t.doc_id, p.id
+           FROM (SELECT doc_id, mention FROM takes
+                 UNION ALL SELECT doc_id, mention FROM unis) t
+           JOIN pat2id p ON p.pat = t.mention)
+         SELECT 'TRIE' || CAST(id AS VARCHAR) AS url, r.title,
+                r.type_ AS cluster_type, count(*) AS nelements
+         FROM skipm JOIN reg r USING (id)
+         GROUP BY 1, 2, 3"""),
+    "kg_media_features" ->
+      """WITH m AS (
+           SELECT doc_id, 'media://img/' || doc_id AS media_ref,
+                  'image' AS media_kind
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 'media://vid/' || doc_id, 'video'
+           FROM documents WHERE doc_id % 5 = 0),
+         n AS (
+           SELECT doc_id, media_ref, media_kind,
+                  list_reduce([CAST(ascii(substring(CAST(doc_id AS VARCHAR),
+                                CAST(i AS INT), 1)) AS BIGINT)
+                               for i in generate_series(1, length(CAST(doc_id AS VARCHAR)))],
+                              (a, c) -> a * 31 + c) AS nv
+           FROM m)
+         SELECT doc_id, media_ref, media_kind,
+                CAST(640 + (nv*37) % 1280 AS INT) AS width,
+                CAST(360 + (nv*73) % 720 AS INT) AS height,
+                CAST(CASE WHEN media_kind = 'video' THEN 24 + nv % 1000 ELSE 1 END AS INT) AS n_frames,
+                CAST((640 + (nv*37) % 1280) * (360 + (nv*73) % 720) * 3 *
+                     (CASE WHEN media_kind = 'video' THEN 24 + nv % 1000 ELSE 1 END) AS BIGINT) AS bytes_len
+         FROM n""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
@@ -510,10 +695,13 @@ object SparkEntry {
              FROM (SELECT lang, string_split_regex(lower(text), '\s+') AS t FROM documents)))
          GROUP BY lang, pred_lang""",
     "t6_ngram_neardup" ->
-      """WITH sh AS (
+      """WITH sh_all AS (
            SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
                   for i in generate_series(1, len(t)-2)]) AS shingle
            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         sh AS (
+           SELECT * FROM sh_all WHERE shingle IN (
+             SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 1000)),
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
          shared AS (
            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
@@ -536,10 +724,45 @@ object SparkEntry {
          FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8""",
     "t9_embed_neardup" ->
-      """SELECT x.vec_id AS a, y.vec_id AS b
-         FROM embeddings x, embeddings y
-         WHERE x.vec_id < y.vec_id
-           AND list_cosine_similarity(x.embedding, y.embedding) >= 0.4""",
+      """WITH b AS (
+           SELECT vec_id, band,
+                  (CASE WHEN embedding[band*4+1] >= 0 THEN 1 ELSE 0 END
+                 + 2*(CASE WHEN embedding[band*4+2] >= 0 THEN 1 ELSE 0 END)
+                 + 4*(CASE WHEN embedding[band*4+3] >= 0 THEN 1 ELSE 0 END)
+                 + 8*(CASE WHEN embedding[band*4+4] >= 0 THEN 1 ELSE 0 END)) AS bucket
+           FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS band)),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM b x JOIN b y USING (band, bucket)
+           WHERE x.vec_id < y.vec_id)
+         SELECT a, b FROM cand
+         JOIN embeddings va ON va.vec_id = cand.a
+         JOIN embeddings vb ON vb.vec_id = cand.b
+         WHERE list_cosine_similarity(va.embedding, vb.embedding) >= 0.4""",
+    "e2_ann_lsh" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+                  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                 + 2*(CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                 + 4*(CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+                 + 8*(CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+                 + 16*(CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END)
+                 + 32*(CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END)
+                 + 64*(CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END)
+                 + 128*(CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END)) AS bucket
+           FROM embeddings)
+         SELECT query_id, neighbor_id, rnk FROM (
+           SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY list_cosine_similarity(x.embedding, y.embedding) DESC,
+                             y.vec_id ASC) AS rnk
+           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         WHERE rnk <= 3""",
+    "t5_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+                string_split_regex(text, '\s+'))), ' ')) AS fp,
+              min(doc_id) AS keep_doc_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
     "e1_ann_topk" ->
       """SELECT query_id, neighbor_id, rnk FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

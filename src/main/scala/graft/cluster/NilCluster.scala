@@ -50,6 +50,16 @@ object NilCluster {
   val BreakupSize = 25
   val BreakupThreshold = 0.1
 
+  /** Max members per blocking key before the block is dropped from pair
+    * generation. A head token ("the"-class surface token) otherwise makes
+    * the within-block pair join quadratic (10^6 members -> 10^12 pairs).
+    * Surfaces in an overfull block still pair through their OTHER keys
+    * (remaining tokens + 2-char prefix), so recall degrades gracefully
+    * and identically on the local and distributed paths.
+    */
+  def BlockCap: Int =
+    sys.props.get("graft.nilcluster.blockCap").map(_.toInt).getOrElse(5000)
+
   /** Max distinct surfaces for the driver-side path. ~100k surfaces x
     * 64-d float = ~26 MB — comfortably driver-sized; beyond that the
     * distributed path takes over.
@@ -95,11 +105,13 @@ object NilCluster {
       idx.foreach { i =>
         blockKeys(surfaces(i)).foreach(k => byKey(k) = i :: byKey.getOrElse(k, Nil))
       }
-      byKey.valuesIterator.flatMap { is =>
-        val v = is.sorted.toArray
-        for (a <- v.indices.iterator; b <- (a + 1) until v.length)
-          yield (v(a), v(b))
-      }
+      byKey.valuesIterator
+        .filter(_.size <= BlockCap) // same hot-block cap as distributed
+        .flatMap { is =>
+          val v = is.sorted.toArray
+          for (a <- v.indices.iterator; b <- (a + 1) until v.length)
+            yield (v(a), v(b))
+        }
     }
 
     // stage 1: string eps-graph over blocked pairs
@@ -196,8 +208,16 @@ object NilCluster {
       .withColumn("bkey", explode(array_union(
         array_distinct(split(col("surface"), "\\s+")),
         array(substring(col("surface"), 1, 2)))))
-    val a = withKeys.select(col("bkey"), col("surface").as("src"))
-    val b = withKeys.select(col("bkey"), col("surface").as("dst"))
+    // hot-block cap (same rule/constant as the local path): drop keys
+    // whose membership exceeds BlockCap BEFORE the self-join — one tiny
+    // aggregate instead of a quadratic blowup on stop-token blocks
+    val keyCounts = withKeys.groupBy("bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= BlockCap)
+      .select("bkey")
+    val capped = withKeys.join(keyCounts, Seq("bkey"))
+    val a = capped.select(col("bkey"), col("surface").as("src"))
+    val b = capped.select(col("bkey"), col("surface").as("dst"))
     a.join(b, Seq("bkey"))
       .filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
@@ -297,7 +317,8 @@ object NilCluster {
     *   clusters: cluster_key, title, cluster_type, nelements, n_surfaces,
     *             center(array<float>)
     */
-  def cluster(spark: SparkSession, nilMentions: DataFrame): (DataFrame, DataFrame) = {
+  def cluster(spark: SparkSession, nilMentions: DataFrame,
+              localLimit: Long = LocalLimit): (DataFrame, DataFrame) = {
     import spark.implicits._
     val mentionsN = nilMentions
       .withColumn("surface", lower(col("mention")))
@@ -306,10 +327,11 @@ object NilCluster {
     val surfacesDf = mentionsN.select("surface").distinct().cache()
     // one job decides the path AND feeds the local path: take(limit+1)
     // instead of count()+collect() halves the eager-job count here
-    val head = surfacesDf.as[String].take(LocalLimit.toInt + 1)
+    val head = surfacesDf.as[String].take(localLimit.toInt + 1)
+    val isLocal = head.length <= localLimit
 
     val surfToCluster: DataFrame =
-      if (head.length <= LocalLimit) {
+      if (isLocal) {
         val local = clusterSurfacesLocal(head.toSeq)
         local.toSeq.map { case (s, (k, c)) => (s, k, c) }
           .toDF("surface", "cluster_key", "center")
@@ -317,7 +339,13 @@ object NilCluster {
         clusterSurfacesDistributed(spark, surfacesDf)
       }
 
-    val assigned = mentionsN.join(broadcast(surfToCluster.select("surface", "cluster_key")),
+    // broadcast hint ONLY on the local path (a driver-built LocalRelation
+    // bounded by localLimit); the distributed path's surface map is
+    // unbounded — hinting broadcast there would ship the whole
+    // vocabulary to every executor. AQE picks the join there.
+    val surfKey = surfToCluster.select("surface", "cluster_key")
+    val assigned = mentionsN.join(
+      if (isLocal) broadcast(surfKey) else surfKey,
       Seq("surface")).cache()
 
     // title (A1) / type (A2): mode with (count desc, value asc) tie-break

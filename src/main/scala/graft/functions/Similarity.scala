@@ -105,6 +105,25 @@ object Similarity {
     if (m == 0) 0.0 else damLevMetric(a, b) / m
   }
 
+  /** F5 Jaccard-of-Levenshtein distance (reference:
+    * nilcluster/main.py:37-54): a soft token-set Jaccard where the
+    * intersection mass is the sum of normalized Damerau-Levenshtein
+    * similarities over all cross token pairs and the union is |x|+|y|.
+    * (The reference's inner call routes through its cdist-shaped
+    * dam_lev_metric, which indexes str[0] — a latent bug in dead code;
+    * this implements the documented intent with the whole tokens.)
+    */
+  def jaccLevDistance(x: String, y: String): Double = {
+    val sx = x.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val sy = y.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val union = sx.size + sy.size
+    if (union == 0) return 0.0
+    var inter = 0.0
+    for (wx <- sx; wy <- sy)
+      inter += 1.0 - damLevMetric(wx, wy) / math.max(wx.length, wy.length)
+    1.0 - inter / union
+  }
+
   /** Raw dot product — FAISS inner-product score analog
     * (reference: indexer/main.py:304, np.inner rescore).
     */

@@ -37,11 +37,15 @@ object Linker {
   val TopK = 10
 
   /** NIL logistic model (fixture weights, reference model is a pickled
-    * sklearn LR — nilpredictor/main.py:159-163): features
-    * (max_bi, jaccard, levenshtein_sim).
+    * sklearn LR — nilpredictor/main.py:108-165): features
+    * (max_bi, jaccard, levenshtein_sim, mean, median, stdev) where the
+    * last three are candidate-score statistics over the mention's top-k
+    * list (nilpredictor/main.py:139-152). Weights are engine fixtures
+    * re-derived for the trigram embedding space: exact-title matches
+    * stay linked, token-overlap-only candidates stay NIL.
     */
-  val NilWeights: (Double, Double, Double) = (2.0, 2.0, 2.0)
-  val NilBias: Double = -3.0
+  val NilWeights: Array[Double] = Array(2.0, 2.0, 2.0, 1.0, 1.0, -0.5)
+  val NilBias: Double = -4.0
 
   final case class LinkInput(
       doc_id: String, annset: String, ann_id: Int, mention_type: String,
@@ -106,10 +110,13 @@ object Linker {
 
     val scored = pairs
       .withColumn("bi_score", Similarity.dotCol(col("m_emb"), col("e_emb")))
+      // norm_score = dot / max(|a|,|b|)^2 (indexer/main.py:313-317);
+      // reuse the dot and bind the max-norm once (pow), instead of
+      // recomputing the two norms four times
       .withColumn("norm_score",
-        Similarity.dotCol(col("m_emb"), col("e_emb")) /
-          (greatest(Similarity.normCol(col("m_emb")), Similarity.normCol(col("e_emb"))) *
-           greatest(Similarity.normCol(col("m_emb")), Similarity.normCol(col("e_emb")))))
+        col("bi_score") /
+          pow(greatest(Similarity.normCol(col("m_emb")),
+            Similarity.normCol(col("e_emb"))), 2))
       .withColumn("jacc", jaccardUdf(col("mention"), col("title")))
       .withColumn("lev_sim",
         lit(1.0) - levenshtein(lower(col("mention")), lower(col("title"))).cast("double") /
@@ -135,12 +142,43 @@ object Linker {
   private val jaccardUdf =
     udf((a: String, b: String) => Similarity.jaccardTokens(a, b))
 
-  /** Full linking decision per mention: top candidate + NIL score.
-    * Output columns: mention key/meta + entity_id (-1 when NIL/none),
-    * title, entity_type, bi_score, nil_score, is_nil, url.
+  /** Candidate-score statistics over a mention's top-k list
+    * (nilpredictor/main.py:139-152: statistics.mean/median/stdev —
+    * median averages the middle two for even n; stdev is the SAMPLE
+    * standard deviation, defined 0 here for n < 2).
     */
-  def link(spark: SparkSession, mentions: Dataset[Mention], docText: DataFrame,
-           registry: DataFrame, rerank: Boolean = false): DataFrame = {
+  private val scoreStatsUdf = udf((scores: Seq[Double]) => {
+    val s = scores.sorted
+    val n = s.length
+    if (n == 0) (0.0, 0.0, 0.0)
+    else {
+      val mean = s.sum / n
+      val median = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      val stdev =
+        if (n < 2) 0.0
+        else math.sqrt(s.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      (mean, median, stdev)
+    }
+  })
+
+  /** Full linking decision per mention, plus the persisted per-mention
+    * candidate lists (reference stores `linking.candidates` (top-10 with
+    * scores) and `top_candidate` on every mention,
+    * indexer/main.py:175-182).
+    *
+    * Returns (linked, mentionCandidates):
+    *   linked — one row per mention: key/meta + entity_id (-1 when
+    *     NIL/none), title, entity_type, bi_score, nil_score, is_nil, url;
+    *   mentionCandidates — one row per linkable mention:
+    *     (doc_id, annset, ann_id, candidates array<struct<rank,
+    *     entity_id, title, type_, bi_score, norm_score>>, top_candidate
+    *     struct) — a mention-keyed side table rather than a wide column
+    *     on every downstream row (the linked frame is checkpointed and
+    *     shuffled repeatedly; candidates ride along only where persisted).
+    */
+  def linkWithCandidates(
+      spark: SparkSession, mentions: Dataset[Mention], docText: DataFrame,
+      registry: DataFrame, rerank: Boolean = false): (DataFrame, DataFrame) = {
     import spark.implicits._
 
     val all = withEmbeddings(spark, mentions, docText).cache()
@@ -156,17 +194,38 @@ object Linker {
     val linkable = all.filter(!_.skip)
     val cands = candidates(spark, linkable, registry, rerank)
 
+    // per-mention candidate list, rank-ordered (array_sort on the
+    // leading rank field), + the reference's top_candidate shortcut
+    val candLists = cands
+      .groupBy(col("doc_id"), col("annset"), col("ann_id"))
+      .agg(array_sort(collect_list(struct(
+        col("rank"), col("entity_id"), col("title"), col("type_"),
+        col("bi_score"), col("norm_score")))).as("candidates"))
+      .withColumn("top_candidate", element_at(col("candidates"), 1))
+
     val top = cands.filter(col("rank") === 1)
       .select(col("doc_id"), col("annset"), col("ann_id"),
         col("entity_id").as("top_entity_id"),
         col("bi_score").as("max_bi"), col("jacc"), col("lev_sim"))
 
-    val sigArg = lit(NilWeights._1) * col("max_bi") +
-      lit(NilWeights._2) * col("jacc") +
-      lit(NilWeights._3) * col("lev_sim") + lit(NilBias)
+    // candidate-score stats become NIL features (mean/median/stdev,
+    // nilpredictor/main.py:139-152)
+    val stats = candLists.select(col("doc_id"), col("annset"), col("ann_id"),
+        scoreStatsUdf(transform(col("candidates"), c => c("bi_score"))).as("st"))
+      .select(col("doc_id"), col("annset"), col("ann_id"),
+        col("st._1").as("sc_mean"), col("st._2").as("sc_median"),
+        col("st._3").as("sc_stdev"))
+
+    val sigArg = lit(NilWeights(0)) * col("max_bi") +
+      lit(NilWeights(1)) * col("jacc") +
+      lit(NilWeights(2)) * col("lev_sim") +
+      lit(NilWeights(3)) * col("sc_mean") +
+      lit(NilWeights(4)) * col("sc_median") +
+      lit(NilWeights(5)) * col("sc_stdev") + lit(NilBias)
 
     val linkedPath = linkable.toDF()
       .join(top, Seq("doc_id", "annset", "ann_id"), "left")
+      .join(stats, Seq("doc_id", "annset", "ann_id"), "left")
       .withColumn("nil_score",
         when(col("top_entity_id").isNull, lit(0.0)) // P8: no candidates
           .otherwise(lit(1.0) / (lit(1.0) + exp(-sigArg))))
@@ -174,13 +233,14 @@ object Linker {
       .withColumn("entity_id",
         when(col("is_nil"), lit(-1L)).otherwise(col("top_entity_id")))
       .withColumn("bi_score", coalesce(col("max_bi"), lit(0.0)))
-      .drop("top_entity_id", "max_bi", "jacc", "lev_sim")
+      .drop("top_entity_id", "max_bi", "jacc", "lev_sim",
+        "sc_mean", "sc_median", "sc_stdev")
 
     val unioned = skipPath.unionByName(linkedPath)
 
     val reg = registry.select(col("id").as("entity_id"),
       col("title").as("ent_title"), col("type_").as("ent_type"))
-    unioned
+    val linked = unioned
       .join(broadcast(reg), Seq("entity_id"), "left")
       .withColumn("title", coalesce(col("ent_title"), lit("")))
       .withColumn("entity_type",
@@ -198,5 +258,11 @@ object Linker {
       // downstream shuffle (measured: scaling collapses to memory
       // bandwidth with m_emb retained)
       .drop("ent_title", "ent_type", "m_emb", "ctx_left", "ctx_right")
+    (linked, candLists)
   }
+
+  /** Linking decisions only (see [[linkWithCandidates]]). */
+  def link(spark: SparkSession, mentions: Dataset[Mention], docText: DataFrame,
+           registry: DataFrame, rerank: Boolean = false): DataFrame =
+    linkWithCandidates(spark, mentions, docText, registry, rerank)._1
 }

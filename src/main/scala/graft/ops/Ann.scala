@@ -56,6 +56,26 @@ object Ann {
     * `planes` hyperplanes, two vectors at angle θ share a bucket with
     * prob (1-θ/π)^planes — recall tuned by fewer planes / multi-probe.
     */
+  /** Axis-aligned sign-LSH top-k: bucket = sign pattern of the leading
+    * `dims` coordinates (the degenerate random-hyperplane case where the
+    * planes are coordinate axes). Same bucketed shape as [[lshTopK]] but
+    * the bucket function is a pure column expression — SQL-expressible
+    * for the correctness oracle AND whole-stage-codegen'd (no UDF).
+    */
+  def signLshTopK(vectors: DataFrame, k: Int, dims: Int = 8): DataFrame = {
+    val bucket = (0 until dims).map { j =>
+      when(element_at(col("vec"), j + 1) >= 0f, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val b = vectors.select(col("id"), col("vec")).withColumn("bucket", bucket)
+    val l = b.select(col("bucket"), col("id").as("query_id"), col("vec").as("qv"))
+    val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("vec").as("cv"))
+    val scored = l.join(r, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv")))
+    TopK.topKPerKey(scored, Seq("query_id"), "cos", "neighbor_id", k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+  }
+
   def lshTopK(vectors: DataFrame, k: Int, planes: Int = 6): DataFrame = {
     val b = vectors.select(col("id"), col("vec"))
       .withColumn("bucket", bucketUdf(col("vec"), lit(planes)))

@@ -35,15 +35,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Hot-shingle document-frequency cap. A stop-shingle shared by 10^6
+    * docs creates 10^12 candidate pairs in the inverted-index self-join;
+    * dropping shingles with df > maxDf BEFORE the join bounds the pair
+    * fan-out at maxDf^2 per shingle. Jaccard is then computed over the
+    * RARE shingle sets on both numerator and denominator (consistent
+    * semantics; near-dup pairs share their rare shingles). maxDf is
+    * chosen so small-sf outputs are unchanged (no shingle reaches it).
+    */
+  val HotShingleDf = 1000
+
   /** Exact n-gram Jaccard >= threshold via the shingle inverted index:
     * shared-shingle counts per pair (one shuffle on shingle), then
-    * |A ∩ B| / (|A| + |B| - |A ∩ B|). This is also the verification
-    * stage of the MinHash path.
+    * |A ∩ B| / (|A| + |B| - |A ∩ B|) — over df<=maxDf shingles (cap
+    * above). This is also the verification stage of the MinHash path.
     */
-  def ngramJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b"), col("shingle"))
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double,
+                        maxDf: Int = HotShingleDf): DataFrame = {
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shingle"),
+      Seq("shingle"))
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = rare.select(col("doc_id").as("a"), col("shingle"))
+    val b = rare.select(col("doc_id").as("b"), col("shingle"))
     val shared = a.join(b, Seq("shingle"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
@@ -157,9 +172,9 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
-  /** Embedding-cosine near-dup pairs. Exact variant: block-nested join
-    * (acceptable below ~10^5 vectors, used as the oracle-checked path);
-    * the scale path is Ann.lshTopK over sign-LSH buckets.
+  /** Embedding-cosine near-dup pairs, EXACT variant: block-nested join.
+    * O(n^2) — test-oracle scope only (below ~10^4 vectors); the shipping
+    * path is [[signLshPairs]].
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
@@ -168,6 +183,46 @@ object Dedup {
     val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("a") < col("b"))
+      .withColumn("cos", Similarity.cosineCol(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
+  /** Embedding-cosine near-dup pairs, SCALE variant: banded sign-LSH.
+    * Each band hashes `dimsPerBand` coordinate signs into a bucket;
+    * candidates share a bucket in ANY band (union over bands), then get
+    * exact cosine verification. Shuffle volume is bands x n plus the
+    * within-bucket pairs — never n^2. Recall rises with more bands
+    * (collision prob per band for vectors at angle θ ~ prod of sign
+    * agreements); axis-aligned planes keep the bucket SQL-expressible
+    * for the oracle.
+    */
+  def signLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, bands: Int = 4,
+                   dimsPerBand: Int = 4): DataFrame = {
+    import graft.functions.Similarity
+    val bandCols = (0 until bands).map { bnd =>
+      val bucket = (0 until dimsPerBand).map { j =>
+        when(element_at(col("vec"), bnd * dimsPerBand + j + 1) >= 0f,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(bnd).as("band"), bucket.as("bucket"))
+    }
+    val banded = emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bb", explode(array(bandCols: _*)))
+      .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
+    // dedup candidate ids across bands FIRST (cheap), then hydrate the
+    // two vectors for exact verification — avoids distinct over arrays
+    val cands = banded.select(col("band"), col("bucket"), col("id").as("a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(vecs.select(col("id").as("a"), col("vec").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("vec").as("vb")), Seq("b"))
       .withColumn("cos", Similarity.cosineCol(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")

@@ -41,15 +41,98 @@ class MergeLinkerSpec extends SparkTestBase {
     assert(out(0).source == "trie")
   }
 
-  test("merge sweep: chained overlaps form one group (running max)") {
-    // [0,10) overlaps [5,15) overlaps [12,20): all one group although
-    // [0,10) and [12,20) are disjoint — single-linkage trichotomy
+  test("merge: anchored groups, not transitive connectivity (merge_sets.py:99-129)") {
+    // sorted: [0,10), [5,15), [12,20). Reference groups are anchored at
+    // the FIRST element: group1 = {[0,10), [5,15)} ([12,20) starts past
+    // the anchor's end and is NOT pulled in although it overlaps [5,15));
+    // [12,20) is processed as its own (disjoint) group.
     val a = spark.createDataset(Seq(
       m("d", "t", "regex", "X", 0, 10, "aaaaaaaaaa"),
       m("d", "t", "regex", "X", 5, 15, "bbbbbbbbbb"),
       m("d", "t", "regex", "X", 12, 20, "cccccccc")))
+    val out = MergeAnnsets.merge(spark, Seq(a)).collect().sortBy(_.start)
+    // group1: same root -> case 1 -> keep ALL tied-longest (10 == 10)
+    assert(out.map(x => (x.start, x.end)).toSeq == Seq((0, 10), (5, 15), (12, 20)))
+  }
+
+  test("merge consensus case 3: priority-source root type beats a longer span") {
+    // roots differ (PRODUCT vs ORG), tied 1-1, trie is the unique
+    // max-priority source -> root filter {ORG} -> the SHORTER trie
+    // mention wins over the longer regex span (merge_sets.py:207-216)
+    val a = spark.createDataset(Seq(
+      m("d", "entities_regex", "regex", "PRODUCT", 0, 10, "fast spark"),
+      m("d", "entities_trie", "trie", "ORG", 5, 10, "spark")))
     val out = MergeAnnsets.merge(spark, Seq(a)).collect()
     assert(out.length == 1)
+    assert(out(0).mention == "spark" && out(0).source == "trie")
+  }
+
+  test("merge: same-span role+person pair both survive via contextual root (A6/J7)") {
+    // ROLE's root comes from its same-span PER companion (relation
+    // ROLE->PER); PER stays PER -> all roots equal -> case 1 -> both kept
+    // (dedup is by span+type, types differ)
+    val a = spark.createDataset(Seq(
+      m("d", "entities_trie", "trie", "ROLE", 0, 8, "presiden"),
+      m("d", "entities_trie", "trie", "PER", 0, 8, "presiden")))
+    val out = MergeAnnsets.merge(spark, Seq(a)).collect()
+    assert(out.length == 2)
+    assert(out.map(_.mention_type).sorted.toSeq == Seq("PER", "ROLE"))
+    assert(MergeAnnsets.rootType("ROLE", Seq("PER")) == "PER")
+    assert(MergeAnnsets.rootType("PER", Seq("ROLE")) == "PER")
+  }
+
+  test("merge W3: PER groups cap mentions at 6 parts (10 otherwise)") {
+    val seven = "a b c d e f g"      // 7 tokens, PER -> filtered
+    val five = "a b c d e"           // 5 tokens
+    val a = spark.createDataset(Seq(
+      m("d", "t", "trie", "PER", 0, 30, seven + " " * (30 - seven.length)),
+      m("d", "t", "trie", "PER", 0, 20, five + " " * (20 - five.length))))
+    val out = MergeAnnsets.merge(spark, Seq(a)).collect()
+    assert(out.length == 1 && out(0).end == 20, "7-part PER must lose to 5-part")
+    // non-PER root: 7 parts pass the 10-part cap, longest wins
+    val b = spark.createDataset(Seq(
+      m("d", "t", "trie", "ORG", 0, 30, seven + " " * (30 - seven.length)),
+      m("d", "t", "trie", "ORG", 0, 20, five + " " * (20 - five.length))))
+    val outB = MergeAnnsets.merge(spark, Seq(b)).collect()
+    assert(outB.length == 1 && outB(0).end == 30)
+  }
+
+  test("merge P4/P5: type whitelist and annset exclusion filters") {
+    val a = spark.createDataset(Seq(
+      m("d", "entities_trie", "trie", "ORG", 0, 5, "spark"),
+      m("d", "entities_trie", "trie", "DATE", 10, 20, "2024-01-01"),
+      m("d", "entities_spacy", "spacy", "ORG", 30, 35, "other")))
+    val wl = MergeAnnsets.merge(spark, Seq(a),
+      typesWhitelist = Some(Set("ORG"))).collect()
+    assert(wl.map(_.mention).toSet == Set("spark", "other"))
+    val ex = MergeAnnsets.merge(spark, Seq(a),
+      annsetExclusion = Set("entities_spacy")).collect()
+    assert(ex.map(_.mention).toSet == Set("spark", "2024-01-01"))
+  }
+
+  test("F16 normalize_entity (merge_sets.py:50-54)") {
+    assert(MergeAnnsets.normalizeEntity("person") == "per")
+    assert(MergeAnnsets.normalizeEntity("Person") == "Per")
+    assert(MergeAnnsets.normalizeEntity("PERSON") == "PER")
+    assert(MergeAnnsets.normalizeEntity("ORG") == "ORG")
+  }
+
+  test("merge consensus cases: the reference 5-case table (merge_sets.py:184-226)") {
+    import MergeAnnsets.{Ann, checkRootType}
+    def ann(src: String, root: String, s: Int = 0, e: Int = 5) =
+      Ann("d", "as", root, root, s, e, "m", 1.0, src, skip = false, -1L)
+    // 1: all roots equal
+    assert(checkRootType(Seq(ann("trie", "ORG"), ann("regex", "ORG"))) == ((1, Set("ORG"))))
+    // 2: prevalent root exists
+    assert(checkRootType(Seq(ann("trie", "ORG"), ann("regex", "ORG"),
+      ann("regex", "OP"))) == ((2, Set("ORG"))))
+    // 3: tie, unique priority source with one root
+    assert(checkRootType(Seq(ann("trie", "ORG"), ann("regex", "OP"))) == ((3, Set("ORG"))))
+    // 4: tie, priority source itself carries multiple roots
+    assert(checkRootType(Seq(ann("trie", "ORG"), ann("trie", "OP"),
+      ann("regex", "OP"), ann("regex", "ORG"))) == ((4, Set("ORG", "OP"))))
+    // 5: tie and no unique max-priority source (both unmapped -> prio 0)
+    assert(checkRootType(Seq(ann("x", "ORG"), ann("y", "OP"))) == ((5, Set("ORG", "OP"))))
   }
 
   test("similarity kernels: reference quirks") {

@@ -38,6 +38,49 @@ class NilClusterSpec extends SparkTestBase {
     assert(dist == local)
   }
 
+  test("forced distributed path equals the local path end-to-end, no forced broadcast") {
+    val mentions = (surfaces ++ surfaces).zipWithIndex.map { case (s, i) =>
+      (s"d$i", "m", 1, s, "PRODUCT")
+    }.toDF("doc_id", "annset", "ann_id", "mention", "mention_type")
+    // localLimit=2 < 7 distinct surfaces -> distributed path
+    val (asgD, clD) = NilCluster.cluster(spark, mentions, localLimit = 2)
+    val (asgL, clL) = NilCluster.cluster(spark, mentions)
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "cluster_key").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keyOf(asgD) == keyOf(asgL))
+    assert(clD.select("cluster_key").collect().map(_.getString(0)).toSet ==
+           clL.select("cluster_key").collect().map(_.getString(0)).toSet)
+    // the surface->cluster map must NOT be broadcast-hinted when distributed
+    val plan = asgD.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"), "no broadcast hint on distributed path")
+  }
+
+  test("hot-block cap drops overfull blocks identically on both paths") {
+    // every surface shares token "the" AND prefix "th" -> two 3-member
+    // blocks. Default cap: the typo pair clusters through them. Cap=2:
+    // both hot blocks are dropped, the remaining 1-member token blocks
+    // yield no pairs -> all singletons. Both paths must agree either way.
+    val stopSurfaces = Seq("the fastkey", "the fastkay", "the unrelated")
+    def localKeys = NilCluster.clusterSurfacesLocal(stopSurfaces).view.mapValues(_._1).toMap
+    def distKeys = NilCluster.clusterSurfacesDistributed(spark,
+        stopSurfaces.toDF("surface"))
+      .select("surface", "cluster_key").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val unCapped = localKeys
+    assert(unCapped("the fastkey") == unCapped("the fastkay"))
+    assert(unCapped("the unrelated") != unCapped("the fastkey"))
+    assert(distKeys == unCapped)
+
+    sys.props("graft.nilcluster.blockCap") = "2"
+    try {
+      val capped = localKeys
+      assert(capped.values.toSet.size == 3, "hot blocks dropped -> singletons")
+      assert(distKeys == capped, "distributed path honors the same cap")
+    } finally sys.props.remove("graft.nilcluster.blockCap")
+  }
+
   test("end-to-end cluster(): assignments, mode title, deterministic") {
     val mentions = Seq(
       ("d1", "m", 1, "Fast Key", "PRODUCT"),

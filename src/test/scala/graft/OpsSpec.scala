@@ -158,6 +158,37 @@ class OpsSpec extends SparkTestBase {
     assert(r.getBoolean(4), "typed gold must win the tie")
   }
 
+  test("sign-LSH embedding pairs: subset of the exact cross join, planted dup found") {
+    // near-identical vectors (one flipped low-order dim) + an orthogonal one
+    val v1 = Array.tabulate(16)(i => if (i < 8) 1.0f else 0.1f)
+    val v2 = Array.tabulate(16)(i => if (i < 8) 1.0f else 0.09f)
+    val v3 = Array.tabulate(16)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val emb = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.9))
+    val lsh = pairs(Dedup.signLshPairs(emb, "vec_id", "embedding", 0.9))
+    assert(exact == Set((1L, 2L)))
+    assert(lsh.subsetOf(exact), "LSH verify stage removes false positives")
+    assert(lsh.contains((1L, 2L)), "sign-agreeing near-dup must be recalled")
+  }
+
+  test("hot-shingle df cap keeps the pair join sub-quadratic under skew") {
+    // 40 docs share a stop-shingle prefix; only docs 1/2 are true near-dups
+    val stop = "x y z"
+    val docs = ((1L, s"$stop a b c d e f g h") +:
+      (2L, s"$stop a b c d e f g q") +:
+      (3 to 40).map(i => (i.toLong, s"$stop u$i v$i w$i t$i"))).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    // cap 10 drops the df=40 stop-shingle ("x y z"); the near-dup pair
+    // still shares its rare shingles and survives, noise pairs vanish
+    val capped = Dedup.ngramJaccardPairs(sh, 0.5, maxDf = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("simhash pairs find the planted near-dup only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),

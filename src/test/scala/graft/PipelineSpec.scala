@@ -59,4 +59,90 @@ class PipelineSpec extends SparkTestBase {
       Registry.seed(spark).toDF()).triples.collect().map(_.toString).sorted
     assert(fresh().sameElements(fresh()))
   }
+
+  test("candidate lists persist per linkable mention, rank-ordered (J1)") {
+    import spark.implicits._
+    import graft.core.{InputDoc, Span}
+    val docs = spark.createDataset(Seq(
+      InputDoc("x", SpanOps.withOffsets(Seq(
+        Span("text", "spark talks to customer", "", 0))))))
+    val res = Pipeline.run(spark, docs, graft.kb.Registry.seed(spark).toDF())
+    val cands = res.candidates.collect()
+    assert(cands.length == 2) // spark + customer (both ambiguous, no skip)
+    cands.foreach { r =>
+      val list = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("candidates"))
+      assert(list.nonEmpty && list.size <= graft.link.Linker.TopK)
+      assert(list.map(_.getInt(0)).toSeq == (1 to list.size).toSeq, "rank order")
+      val top = r.getStruct(r.fieldIndex("top_candidate"))
+      assert(top.getInt(0) == 1)
+      // "spark" mention: candidates are both spark entities (ids 1,2)
+    }
+    val sparkRow = res.candidates
+      .join(res.linked.filter(col("mention") === "spark")
+        .select("doc_id", "annset", "ann_id"), Seq("doc_id", "annset", "ann_id"))
+      .collect()(0)
+    val ids = sparkRow.getSeq[org.apache.spark.sql.Row](
+      sparkRow.fieldIndex("candidates")).map(_.getLong(1)).toSet
+    assert(ids.contains(1L) && ids.contains(2L))
+  }
+
+  test("not-NIL pseudo-cluster records group linked mentions by url (J9)") {
+    import spark.implicits._
+    import graft.core.{InputDoc, Span}
+    val docs = spark.createDataset(Seq(
+      InputDoc("a", SpanOps.withOffsets(Seq(Span("text", "merge join and spark", "", 0)))),
+      InputDoc("b", SpanOps.withOffsets(Seq(Span("text", "merge join again", "", 0))))))
+    val res = Pipeline.run(spark, docs, graft.kb.Registry.seed(spark).toDF())
+    val nn = res.notNilClusters.collect()
+      .map(r => r.getAs[String]("url") -> ((r.getAs[String]("title"),
+        r.getAs[String]("cluster_type"), r.getAs[Long]("nelements")))).toMap
+    // "merge join" is a skip-path dictionary hit (id 5) in both docs
+    assert(nn("TRIE5") == (("merge join", "ALG", 2L)))
+    // "spark" links by score to entity 1 (ORG)
+    assert(nn.exists { case (url, (t, tp, _)) =>
+      url == "kb://ent/1" && t == "spark" && tp == "ORG" })
+  }
+
+  test("reannotate flow relinks previously-NIL mentions to grown KB (I3)") {
+    import spark.implicits._
+    import graft.core.{InputDoc, Span}
+    val docs = spark.createDataset(Seq(
+      InputDoc("d1", SpanOps.withOffsets(Seq(Span("text", "fast key spotted", "", 0)))),
+      InputDoc("d2", SpanOps.withOffsets(Seq(Span("text", "fast key again", "", 0))))))
+    val dir = java.nio.file.Files.createTempDirectory("reann").toString
+    // batch per doc: d-batch ordering is hash-based; run all
+    Incremental.run(spark, docs, dir, numBatches = 2)
+    val t = Incremental.Tables(dir)
+    // at least the first-processed doc has a nil: mention for "fast key"
+    val before = t.mentions.read(spark).get
+      .filter(col("mention") === "fast key")
+      .select("doc_id", "is_nil").collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(before.values.exists(identity), "first occurrence must be NIL")
+    val nilDoc = before.collect { case (d, true) => d }.toSeq.sorted.head
+    // reannotate that doc against the grown registry -> links, not NIL
+    Incremental.reannotate(spark, dir, Seq(nilDoc))
+    val after = t.mentions.read(spark).get
+      .filter(col("mention") === "fast key" && col("doc_id") === nilDoc)
+      .collect()
+    assert(after.length == 1)
+    val row = after(0)
+    assert(!row.getAs[Boolean]("is_nil"), "reannotated mention must link")
+    assert(row.getAs[String]("name").startsWith("ent:"))
+    // idempotent: reannotating again changes nothing
+    val snap1 = t.mentions.read(spark).get.collect().map(_.toString).sorted.toSeq
+    Incremental.reannotate(spark, dir, Seq(nilDoc))
+    val snap2 = t.mentions.read(spark).get.collect().map(_.toString).sorted.toSeq
+    assert(snap1 == snap2)
+  }
+
+  test("F5 jaccard-of-levenshtein distance (nilcluster/main.py:37-54)") {
+    import graft.functions.Similarity
+    assert(Similarity.jaccLevDistance("", "") == 0.0)
+    // identical single tokens: inter = 1, union = 2 -> dist = 0.5
+    assert(math.abs(Similarity.jaccLevDistance("spark", "spark") - 0.5) < 1e-9)
+    // near tokens score between identical and disjoint
+    val near = Similarity.jaccLevDistance("spark", "spork")
+    val far = Similarity.jaccLevDistance("spark", "zzzzz")
+    assert(near > 0.5 && near < far)
+  }
 }

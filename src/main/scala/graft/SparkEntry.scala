@@ -218,6 +218,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"))
     }),
 
+    // reference-faithful section SPANS (W6/F15 incl. end-offset fixup):
+    // the corpus is single-line, so deterministic marker lines are
+    // injected (every " window " becomes a P.Q.M. line) — the kernel
+    // runs the full reference state machine, the oracle mirrors the
+    // resulting two-section split arithmetic.
+    "kg_section_spans" -> ((s, dir) => {
+      val lined = documents(s, dir).withColumn("t2",
+        expr("replace(text, ' window ', concat(chr(10), 'P.Q.M.', chr(10)))"))
+      graft.ner.Sectionator.sectionSpans(s, lined, "doc_id", "t2")
+        .select(col("doc_id").cast("long").as("doc_id"), col("section"),
+          col("start"), col("end"))
+    }),
+
     // gazetteer NER mention counts (greedy trie semantics — no SQL oracle)
     "kg_mentions" -> ((s, dir) => {
       import s.implicits._
@@ -659,6 +672,21 @@ object SparkEntry {
                           unnest(generate_series(1, len(t))) AS ord
                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))))
          GROUP BY doc_id, section""",
+    "kg_section_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  replace(text, ' window ', chr(10) || 'P.Q.M.' || chr(10)) AS t2
+           FROM documents),
+         p AS (
+           SELECT doc_id, t2,
+                  strpos(t2, chr(10) || 'P.Q.M.' || chr(10)) AS pos
+           FROM t)
+         SELECT doc_id, 'preambolo' AS section, CAST(0 AS INT) AS "start",
+                CAST(CASE WHEN pos > 0 THEN pos ELSE length(t2) - 1 END AS INT) AS "end"
+         FROM p
+         UNION ALL
+         SELECT doc_id, 'dispositivo', CAST(pos AS INT), CAST(length(t2) - 1 AS INT)
+         FROM p WHERE pos > 0""",
     "kg_media" ->
       """SELECT doc_id, 'media://img/' || doc_id AS media_ref, 'image' AS media_kind
          FROM documents WHERE doc_id % 3 = 0

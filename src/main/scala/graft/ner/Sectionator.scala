@@ -1,8 +1,9 @@
 package graft.ner
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import java.util.regex.Pattern
 
 /** Document sectioning — the reference's line-oriented regex state
   * machine (sectionator/main.py:8-54: a marker line opens a section that
@@ -39,6 +40,138 @@ object Sectionator {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     exploded.withColumn("section",
       coalesce(last(col("marker"), ignoreNulls = true).over(w), lit("PREAMBLE")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Reference-faithful section spans (sectionator/main.py:8-78)
+  // ---------------------------------------------------------------------
+
+  /** Engine-owned court-seat fixture, CSV-shaped like the reference's
+    * distribuzione_territoriale_uffici.csv (sectionator/main.py:99-107).
+    * Loaded THROUGH spark.read.csv (S10) so a real deployment swaps the
+    * path for the actual config file; content is deterministic.
+    */
+  val courtCsv: String =
+    """N,Tribunale
+      |1,Tribunale di Milano
+      |2,Tribunale di Roma
+      |3,Tribunale di Napoli
+      |4,Tribunale di Torino
+      |5,Tribunale di Bologna
+      |""".stripMargin
+
+  @volatile private var courtCache: Option[Seq[String]] = None
+
+  /** Court names via a real spark.read.csv round-trip (S10). */
+  def courtNames(spark: SparkSession): Seq[String] = courtCache.getOrElse {
+    val dir = java.nio.file.Files.createTempDirectory("graft-courts")
+    val f = dir.resolve("distribuzione_territoriale_uffici.csv")
+    java.nio.file.Files.writeString(f, courtCsv)
+    val names = spark.read.option("header", "true").csv(f.toString)
+      .select("Tribunale").collect().map(_.getString(0)).toSeq
+    courtCache = Some(names)
+    names
+  }
+
+  // reference regexes, byte-for-byte (sectionator/main.py:27-45)
+  private val ConclusioniRe = Pattern.compile("^CONCLUSIONI")
+  private val FattoRe = Pattern.compile("^FATTO (E DIRITTO)?$|^SENTENZA$")
+  private val DispositivoRe = Pattern.compile(
+    "P( )?(.)?( )?Q( )?(.)?( )?M|^MOTIV(AZION)?[EI]|PTM", Pattern.CASE_INSENSITIVE)
+  private val YearRe = Pattern.compile("[ \\.\\-/](\\d){2}(\\d){2}?")
+  private val JudgeRe = Pattern.compile(
+    "presidente|giudice|GOT", Pattern.CASE_INSENSITIVE)
+  private val RemotoRe = Pattern.compile("remoto", Pattern.CASE_INSENSITIVE)
+
+  /** Split keeping line terminators (Python splitlines(keepends=True)
+    * over \n-terminated text).
+    */
+  def splitKeepEnds(text: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\n') { out += text.substring(s, i + 1); s = i + 1 }
+      i += 1
+    }
+    if (s < text.length) out += text.substring(s)
+    out.result()
+  }
+
+  /** The reference state machine (identify_sections, main.py:8-54) plus
+    * the end-offset fixup (add_sections_to_gatenlp, main.py:63-69):
+    *  - the first line opens `preambolo`; CONCLUSIONI / FATTO E DIRITTO /
+    *    SENTENZA / P.Q.M.-MOTIVI-PTM open their sections once each;
+    *  - `firma_e_data` opens on a line naming a court seat (or "remoto")
+    *    together with a year-like pattern when the NEXT line names the
+    *    judge (presidente|giudice|GOT) — the reference's lookahead
+    *    heuristic (main.py:37-46), including its quirk that the
+    *    lookahead on the LAST line aborts that line's bookkeeping
+    *    (IndexError -> continue);
+    *  - fixup: sections sorted by start DESC get end = the previous
+    *    (higher) section's start, the last extends to len-1 — "start is
+    *    more accurate than end".
+    * Returns (section, start, end) in document order.
+    */
+  def identifySections(text: String, courts: Seq[String]): Seq[(String, Int, Int)] = {
+    val lines = splitKeepEnds(text)
+    val lowerCourts = courts.map(_.toLowerCase)
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, Array[Int]]
+    var offset = 0
+    var current = ""
+    var endPre = false; var endConc = false; var endFatto = false
+    var endDisp = false; var endFirma = false
+    var i = 0
+    var skipLine = false
+    lines.foreach { line =>
+      skipLine = false
+      if (!endPre) { endPre = true; current = "preambolo" }
+      else if (ConclusioniRe.matcher(line).find() && !endConc) {
+        endConc = true; current = "conclusioni"
+      } else if (FattoRe.matcher(line.trim).find() && !endFatto) {
+        endFatto = true; current = "fatto_e_diritto"
+      } else if (DispositivoRe.matcher(line).find() && !endDisp) {
+        endDisp = true; current = "dispositivo"
+      } else {
+        val lower = line.toLowerCase
+        val seatOrRemoto = lowerCourts.exists(lower.contains) ||
+          RemotoRe.matcher(line).find()
+        if (seatOrRemoto && YearRe.matcher(line).find()) {
+          if (i + 1 >= lines.length) skipLine = true // reference IndexError path
+          else if (JudgeRe.matcher(lines(i + 1)).find() && !endFirma) {
+            endFirma = true; current = "firma_e_data"
+          }
+        }
+      }
+      if (!skipLine) {
+        i += 1
+        val finalOffset = offset + line.length
+        order.getOrElseUpdate(current, Array(offset, offset))(1) = finalOffset
+        offset = finalOffset
+      }
+    }
+    // end-offset fixup (main.py:63-69)
+    var prevStart = text.length - 1
+    order.toSeq.sortBy(-_._2(0)).foreach { case (_, v) =>
+      v(1) = prevStart
+      prevStart = v(0)
+    }
+    order.toSeq.map { case (k, v) => (k, v(0), v(1)) }
+  }
+
+  /** Distributed span stage: (doc_id, section, start, end) — a narrow
+    * per-doc kernel, embarrassingly parallel over document partitions.
+    */
+  def sectionSpans(spark: SparkSession, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    val courts = spark.sparkContext.broadcast(courtNames(spark))
+    docs.select(col(idCol).cast("string").as("doc_id"), col(textCol).as("t"))
+      .as[(String, String)]
+      .flatMap { case (id, t) =>
+        identifySections(t, courts.value).map { case (sec, s, e) => (id, sec, s, e) }
+      }
+      .toDF("doc_id", "section", "start", "end")
   }
 
   /** Token-unit sweep with marker tokens (same algorithm). */

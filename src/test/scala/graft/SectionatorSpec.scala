@@ -26,6 +26,43 @@ class SectionatorSpec extends SparkTestBase {
     assert(out(5) == "MOTIVI" && out(6) == "MOTIVI")
   }
 
+  test("section spans: firma_e_data heuristic + end-offset fixup, golden offsets") {
+    val lines = Seq(
+      "Intestazione documento\n",              // preambolo        [0, ...)
+      "CONCLUSIONI delle parti\n",             // conclusioni      starts 23
+      "testo\n",
+      "FATTO E DIRITTO\n",                     // fatto_e_diritto  starts 53
+      "svolgimento\n",
+      "P.Q.M.\n",                              // dispositivo      starts 81
+      "il collegio decide\n",
+      "Tribunale di Milano, 12/07/2023\n",     // firma_e_data     starts 107
+      "Il Giudice Dott. Rossi\n")              //   (court+year, next line judge)
+    val text = lines.mkString
+    assert(text.length == 162)
+    val courts = Sectionator.courtNames(spark)
+    assert(courts.contains("Tribunale di Milano")) // spark.read.csv path (S10)
+    val got = Sectionator.identifySections(text, courts)
+    // fixup: end = next section's start; last section ends at len-1
+    assert(got == Seq(
+      ("preambolo", 0, 23),
+      ("conclusioni", 23, 53),
+      ("fatto_e_diritto", 53, 81),
+      ("dispositivo", 81, 107),
+      ("firma_e_data", 107, 161)))
+    // firma does NOT open without the judge lookahead on the next line
+    val noJudge = Sectionator.identifySections(
+      "intro\nTribunale di Roma 12/07/2023\nnessun magistrato qui\n", courts)
+    assert(noJudge.map(_._1) == Seq("preambolo"))
+    // distributed span stage over a frame
+    val df = Seq(("d1", text), ("d2", "una sola riga senza marcatori"))
+      .toDF("doc_id", "body")
+    val spans = Sectionator.sectionSpans(spark, df, "doc_id", "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(spans.count(_._1 == "d1") == 5)
+    assert(spans.filter(_._1 == "d2").toSeq ==
+      Seq(("d2", "preambolo", 0, 28))) // len-1 of the single line
+  }
+
   test("TSV mention IO round-trip with explicit schema + canonical sort (S11/T3)") {
     val dir = Files.createTempDirectory("tsv").toString
     val mentions = Seq(

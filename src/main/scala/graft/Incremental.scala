@@ -34,12 +34,17 @@ import graft.tables.IceLite
   */
 object Incremental {
 
+  /** KB state tables. The row tables are hash-BUCKETED on doc_id (a
+    * prefix of every merge key), so a micro-batch MERGE rewrites only
+    * the touched buckets — O(batch), not O(table), at 10^12 docs.
+    * Registry buckets on entity id; lineage/metrics are append-only.
+    */
   final case class Tables(workDir: String) {
-    val documents = IceLite(s"$workDir/documents")
-    val mentions = IceLite(s"$workDir/mentions")
-    val candidates = IceLite(s"$workDir/mention_candidates")
-    val registry = IceLite(s"$workDir/entity_registry")
-    val triples = IceLite(s"$workDir/triples")
+    val documents = IceLite(s"$workDir/documents", 16, Seq("doc_id"))
+    val mentions = IceLite(s"$workDir/mentions", 16, Seq("doc_id"))
+    val candidates = IceLite(s"$workDir/mention_candidates", 16, Seq("doc_id"))
+    val registry = IceLite(s"$workDir/entity_registry", 8, Seq("id"))
+    val triples = IceLite(s"$workDir/triples", 16, Seq("doc_id"))
     val lineage = IceLite(s"$workDir/lineage")
     val metrics = IceLite(s"$workDir/metrics")
   }

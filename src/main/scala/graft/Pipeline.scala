@@ -94,10 +94,19 @@ object Pipeline {
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toSeq, 1), schema)
       } else {
-        val wId = Window.orderBy(col("cluster_key"))
-        clustersRaw
-          .withColumn("nil_id", lit(base) + row_number().over(wId))
-          .localCheckpoint(true)
+        // distributed fallback (>200k clusters): a global
+        // Window.orderBy would funnel every row through ONE partition;
+        // rangepartition-sort + zipWithIndex keeps the id assignment
+        // parallel and deterministic (ids follow the cluster_key order).
+        val sortedDf = clustersRaw.sort(col("cluster_key"))
+        val schema = org.apache.spark.sql.types.StructType(
+          clustersRaw.schema.fields :+
+            org.apache.spark.sql.types.StructField("nil_id",
+              org.apache.spark.sql.types.LongType, nullable = false))
+        val withIds = sortedDf.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i + 1L))
+        }
+        spark.createDataFrame(withIds, schema).localCheckpoint(true)
       }
 
     val assignments = assignRaw.join(

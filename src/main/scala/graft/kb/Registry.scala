@@ -39,4 +39,24 @@ object Registry {
     import spark.implicits._
     spark.createDataset(seedRecords)
   }
+
+  /** S14: federated registry — N indexer tables (read-only snapshots +
+    * the read-write head) unioned into one searchable frame; candidate
+    * search then spans every indexer in one plan, entity identity being
+    * (id, indexer) (reference searches all loaded FAISS indexes and
+    * merges the result lists, indexer/main.py:439-476). Later tables win
+    * duplicate (id, indexer) keys — the rw head shadows stale snapshots.
+    */
+  def federate(registries: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tagged = registries.zipWithIndex
+      .map { case (df, i) => df.withColumn("_fed_pos", lit(i)) }
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("id"), col("indexer"))
+      .orderBy(col("_fed_pos").desc)
+    tagged.withColumn("_fed_rn", row_number().over(w))
+      .filter(col("_fed_rn") === 1)
+      .drop("_fed_pos", "_fed_rn")
+  }
 }

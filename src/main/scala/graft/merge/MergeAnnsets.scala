@@ -83,6 +83,18 @@ object MergeAnnsets {
     def prio: Int = sourcePriority.getOrElse(source, 0)
   }
 
+  /** Attach span-contextual root types within a chain: same-span anns of
+    * the same source annset are necessarily in the same overlap chain,
+    * so the companion lookup is chain-local — no extra shuffle.
+    */
+  def withRoots(chain: Seq[Ann]): Seq[Ann] = chain.map { a =>
+    val companions = chain.collect {
+      case o if !(o eq a) && o.annset == a.annset &&
+        o.start == a.start && o.end == a.end => o.mention_type
+    }
+    a.copy(root_type = rootType(a.mention_type, companions))
+  }
+
   /** 5-case root-type consensus (merge_sets.py:184-226). Returns
     * (case 1-5, allowed root types).
     */
@@ -189,53 +201,61 @@ object MergeAnnsets {
         case None => lit(true)
       })
 
-    val normUdf = udf((t: String) => normalizeEntity(t))
-    val rootUdf = udf((t: String, companions: Seq[String]) => rootType(t, companions))
+    // F16 normalize as a codegen'd expression (no UDF in the hot path)
+    val normed = selected.withColumn("norm_type",
+      when(lower(col("mention_type")) === "person",
+        substring(col("mention_type"), 1, 3))
+        .otherwise(col("mention_type")))
 
-    // same-span companions within the source annset (window, no join)
-    val wSpan = Window.partitionBy(col("doc_id"), col("annset"),
-      col("start"), col("end"))
-    val withRoot = selected
-      .withColumn("norm_type", normUdf(col("mention_type")))
-      .withColumn("span_types", collect_list(col("norm_type")).over(wSpan))
-      .withColumn("companions",
-        array_remove_first(col("span_types"), col("norm_type")))
-      .withColumn("root_type", rootUdf(col("norm_type"), col("companions")))
-
-    // Overlap-chain sweep: one shuffle, partitioned by doc. Chains are
-    // transitive-overlap components; anchored groups refine them inside
-    // the kernel (a chain never splits an anchored group).
+    // Overlap-chain sweep: ONE shuffle, partitioned by doc. Chains are
+    // transitive-overlap components; anchored groups (and same-span
+    // root-type companions -- same span => same chain) refine them
+    // inside the kernel. Singleton chains -- the overwhelming majority
+    // -- bypass the kernel entirely: a 1-element group is kept verbatim,
+    // so the row-encoding cost is paid only where overlaps exist.
     val order = Window.partitionBy(col("doc_id"))
       .orderBy(col("start"), col("end"), col("norm_type"), col("source"))
     val runMax = max(col("end")).over(order.rowsBetween(Window.unboundedPreceding, -1))
-    val grouped = withRoot
+    val grouped = normed
       .withColumn("prev_max_end", runMax)
       .withColumn("new_grp",
         when(col("prev_max_end").isNull || col("start") >= col("prev_max_end"), 1)
           .otherwise(0))
       .withColumn("grp", sum(col("new_grp")).over(
         order.rowsBetween(Window.unboundedPreceding, 0)))
+      // chain size: (doc_id, grp) clustering is satisfied by the
+      // existing hash(doc_id) exchange -- no second shuffle
+      .withColumn("chain_n", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("grp"))))
 
-    val anns = grouped.select(
-        col("doc_id"), col("annset"), col("norm_type").as("mention_type"),
-        col("root_type"), col("start"), col("end"), col("mention"),
-        col("score"), col("source"), col("skip"), col("gazetteer_id"),
-        col("grp"))
-      .as[(String, String, String, String, Int, Int, String, Double, String, Boolean, Long, Long)]
+    val base = grouped.select(
+      col("doc_id"), col("annset"), col("norm_type").as("mention_type"),
+      col("start"), col("end"), col("mention"),
+      col("score"), col("source"), col("skip"), col("gazetteer_id"),
+      col("grp"), col("chain_n"))
 
-    val winners = anns
-      .groupByKey { case (doc, _, _, _, _, _, _, _, _, _, _, grp) => (doc, grp) }
+    val singletons = base.filter(col("chain_n") === 1).drop("grp", "chain_n")
+
+    val resolvedMulti = base.filter(col("chain_n") > 1)
+      .as[(String, String, String, Int, Int, String, Double, String, Boolean, Long, Long, Long)]
+      .groupByKey { case (doc, _, _, _, _, _, _, _, _, _, grp, _) => (doc, grp) }
       .flatMapGroups { (_: (String, Long), it) =>
-        val chain = it.map { case (d, as, t, rt, s, e, m, sc, src, sk, gid, _) =>
-          Ann(d, as, t, rt, s, e, m, sc, src, sk, gid)
+        val chain = it.map { case (d, as, t, s, e, m, sc, src, sk, gid, _, _) =>
+          Ann(d, as, t, t, s, e, m, sc, src, sk, gid)
         }.toSeq.sortBy(a => (a.start, a.end, a.mention_type, a.source))
-        resolveChain(chain)
+        resolveChain(withRoots(chain))
       }
+      .toDF()
+      .select(col("doc_id"), col("annset"), col("mention_type"),
+        col("start"), col("end"), col("mention"), col("score"),
+        col("source"), col("skip"), col("gazetteer_id"))
+
+    val winners = singletons.unionByName(resolvedMulti)
 
     // W7 contiguous ann ids per doc in reading order
     val wAnn = Window.partitionBy(col("doc_id"))
       .orderBy(col("start"), col("end"), col("mention_type"))
-    winners.toDF()
+    winners
       .withColumn("ann_id", row_number().over(wAnn))
       .select(
         col("doc_id"), lit(AnnSet).as("annset"), col("ann_id"),
@@ -244,15 +264,4 @@ object MergeAnnsets {
       .as[Mention]
   }
 
-  /** Remove ONE occurrence of `elem` from `arr` (self from its same-span
-    * companion list). Spark's array_remove removes all occurrences, which
-    * would erase a true duplicate companion of the same type.
-    */
-  private def array_remove_first(arr: org.apache.spark.sql.Column,
-                                 elem: org.apache.spark.sql.Column) = {
-    val idx = array_position(arr, elem) // 1-based, 0 when absent
-    when(idx === 0, arr).otherwise(
-      concat(slice(arr, lit(1), (idx - 1).cast("int")),
-        slice(arr, (idx + 1).cast("int"), greatest(size(arr) - idx.cast("int"), lit(0)))))
-  }
 }

@@ -13,9 +13,11 @@ import scala.jdk.CollectionConverters._
   * the same logical API, so a real Iceberg catalog is a config swap.
   *
   * Layout per table root:
-  *   data/s<id>/part-*.parquet     one directory per committed write
-  *   _meta/v<id>.json              manifest: list of live data dirs
-  *   _meta/LATEST                  pointer file, atomically replaced
+  *   data/s<id>/part-*.parquet       one directory per committed write
+  *   data/s<id>/_b=<k>/part-*.parquet  per-bucket leaves (bucketed tables)
+  *   _meta/v<id>.json                manifest: list of live data dirs;
+  *                                   bucketed entries are "b<k>:<dir>"
+  *   _meta/LATEST                    pointer file, atomically replaced
   *
   * Commit protocol: write data dir -> write manifest v<id+1>.json ->
   * atomic-move tmp pointer onto LATEST. Readers resolve LATEST once and
@@ -23,14 +25,20 @@ import scala.jdk.CollectionConverters._
   * the pointer move leaves garbage data but the table logically unchanged
   * (crash consistency — tested).
   *
-  * Scale note: append is O(new data); mergeInto here is copy-on-write of
-  * the FULL table, correct at any scale but at 100 TB a real deployment
-  * partitions the table (bucket(key)) and rewrites only matched
-  * partitions — the API surface is unchanged.
+  * Scale: append is O(new data). With `numBuckets` > 0 the table is
+  * hash-bucketed on the MERGE key, and mergeInto rewrites ONLY the
+  * buckets the source rows hash into — the Iceberg bucket(key)
+  * copy-on-write shape; at 10^12 docs a micro-batch commit is O(touched
+  * buckets), not O(table). Unbucketed tables (numBuckets = 0) keep the
+  * simple whole-table copy-on-write.
   */
-final case class IceLite(root: String) {
+final case class IceLite(root: String, numBuckets: Int = 0,
+                         bucketKeys: Seq[String] = Nil) {
+  require(numBuckets == 0 || bucketKeys.nonEmpty,
+    "bucketed tables need bucketKeys")
   private def meta: Path = Paths.get(root, "_meta")
   private def latestPtr: Path = meta.resolve("LATEST")
+  private def bucketed: Boolean = numBuckets > 0
 
   def exists: Boolean = Files.exists(latestPtr)
 
@@ -38,21 +46,30 @@ final case class IceLite(root: String) {
     if (!exists) None
     else Some(Files.readString(latestPtr).trim.toInt)
 
-  private def manifestDirs(id: Int): Seq[String] = {
+  /** Manifest entries: (bucket or -1 for unbucketed, dir). */
+  private def manifestEntries(id: Int): Seq[(Int, String)] = {
     val txt = Files.readString(meta.resolve(s"v$id.json"))
-    // manifest format: {"id":N,"dirs":["data/s1","data/s2"]}
     val m = "\"dirs\"\\s*:\\s*\\[([^\\]]*)\\]".r
     m.findFirstMatchIn(txt) match {
       case Some(g) =>
         g.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
+          .map { e =>
+            if (e.startsWith("b") && e.contains(":")) {
+              val Array(b, d) = e.split(":", 2)
+              (b.stripPrefix("b").toInt, d)
+            } else (-1, e)
+          }
       case None => Seq.empty
     }
   }
 
-  private def commit(dirs: Seq[String]): Int = {
+  private def manifestDirs(id: Int): Seq[String] = manifestEntries(id).map(_._2)
+
+  private def commit(entries: Seq[(Int, String)]): Int = {
     Files.createDirectories(meta)
     val next = latestSnapshot.getOrElse(0) + 1
+    val dirs = entries.map { case (b, d) => if (b < 0) d else s"b$b:$d" }
     val json = dirs.map(d => "\"" + d + "\"").mkString(s"""{"id":$next,"dirs":[""", ",", "]}")
     Files.writeString(meta.resolve(s"v$next.json"), json)
     val tmp = meta.resolve(s".LATEST.tmp$next")
@@ -84,21 +101,49 @@ final case class IceLite(root: String) {
     read(spark).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  /** Deterministic bucket of the table's bucket-key tuple (murmur3,
+    * fixed seed — stable across JVMs/partitionings, required for replay
+    * idempotency).
+    */
+  private def bucketCol = pmod(hash(bucketKeys.map(col): _*), lit(numBuckets))
+
+  /** Write df split per bucket under dir; returns (bucket -> leaf dir). */
+  private def writeBuckets(df: DataFrame, dir: String): Seq[(Int, String)] = {
+    val withB = df.withColumn("_b", bucketCol)
+    withB.write.mode("overwrite").partitionBy("_b").parquet(s"$root/$dir")
+    // enumerate the bucket leaves actually written
+    Files.list(Paths.get(root, dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("_b=") =>
+        (s.stripPrefix("_b=").toInt, s"$dir/$s") }
+      .toSeq
+  }
+
   /** Append rows as a new snapshot (previous data dirs stay live). */
   def append(df: DataFrame): Int = {
     val dir = newDataDir()
-    df.write.mode("overwrite").parquet(s"$root/$dir")
-    commit(latestSnapshot.map(manifestDirs).getOrElse(Seq.empty) :+ dir)
+    val prev = latestSnapshot.map(manifestEntries).getOrElse(Seq.empty)
+    if (bucketed) commit(prev ++ writeBuckets(df, dir))
+    else {
+      df.write.mode("overwrite").parquet(s"$root/$dir")
+      commit(prev :+ ((-1, dir)))
+    }
   }
 
   /** Replace the whole table content with df (new snapshot). */
   def overwrite(df: DataFrame): Int = {
     val dir = newDataDir()
-    df.write.mode("overwrite").parquet(s"$root/$dir")
-    commit(Seq(dir))
+    if (bucketed) commit(writeBuckets(df, dir))
+    else {
+      df.write.mode("overwrite").parquet(s"$root/$dir")
+      commit(Seq((-1, dir)))
+    }
   }
 
-  /** Delete rows matching the predicate (copy-on-write). */
+  /** Delete rows matching the predicate (copy-on-write of the full
+    * table — predicate pruning to buckets needs key-equality analysis a
+    * real Iceberg does; callers with key predicates should mergeInto).
+    */
   def deleteWhere(spark: SparkSession, cond: org.apache.spark.sql.Column): Int =
     read(spark) match {
       case Some(cur) => overwrite(cur.filter(!coalesce(cond, lit(false))))
@@ -109,6 +154,9 @@ final case class IceLite(root: String) {
     * replaced by the source row, unmatched source rows are inserted
     * (whole-row WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT).
     * Idempotent: replaying the same source yields the same table.
+    *
+    * Bucketed tables rewrite ONLY the buckets the source touches: the
+    * new snapshot reuses every untouched bucket's existing leaf dirs.
     */
   def mergeInto(spark: SparkSession, source: DataFrame, keys: Seq[String]): Int =
     read(spark) match {
@@ -117,6 +165,28 @@ final case class IceLite(root: String) {
       // schema") on every later read. Leave the table absent instead
       // (readOrEmpty supplies the schema to callers that need one).
       case None => if (source.isEmpty) 0 else overwrite(source)
+      case Some(_) if bucketed =>
+        require(bucketKeys.forall(keys.contains),
+          s"bucket keys $bucketKeys must be a subset of merge keys $keys")
+        val entries = manifestEntries(latestSnapshot.get)
+        val srcB = source.withColumn("_b", bucketCol).cache()
+        val touched = srcB.select("_b").distinct().collect().map(_.getInt(0)).toSet
+        val (touchedEntries, untouchedEntries) =
+          entries.partition { case (b, _) => touched.contains(b) }
+        val oldTouched: Option[DataFrame] =
+          if (touchedEntries.isEmpty) None
+          else Some(spark.read.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
+        val srcPlain = srcB.drop("_b")
+        val merged = oldTouched match {
+          case None => srcPlain
+          case Some(old) =>
+            old.join(srcPlain.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .unionByName(srcPlain.select(old.columns.map(col): _*))
+        }
+        val dir = newDataDir()
+        val written = writeBuckets(merged, dir)
+        srcB.unpersist()
+        commit(untouchedEntries ++ written)
       case Some(target) =>
         val kept = target.join(
           source.select(keys.map(col): _*).distinct(), keys, "left_anti")

@@ -46,6 +46,35 @@ class IceLiteSpec extends SparkTestBase {
     assert(t.read(spark).get.count() == 1)
   }
 
+  test("bucketed mergeInto rewrites only the touched buckets (bucket COW)") {
+    val root = tmp()
+    val t = IceLite(root, numBuckets = 4, bucketKeys = Seq("id"))
+    t.overwrite((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    def manifestDirs(id: Int): Set[String] = {
+      val txt = Files.readString(java.nio.file.Paths.get(root, "_meta", s"v$id.json"))
+      "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).filter(_.contains("data/")).toSet
+    }
+    val dirs1 = manifestDirs(1)
+    assert(dirs1.size == 4, "4 bucket leaves")
+
+    t.mergeInto(spark, Seq((1, "X"), (999, "new")).toDF("id", "v"), Seq("id"))
+    val dirs2 = manifestDirs(2)
+    // at most 2 buckets touched; the rest carry over verbatim
+    assert((dirs1 & dirs2).size >= 2, s"untouched buckets must be reused: $dirs1 vs $dirs2")
+    assert((dirs2 -- dirs1).nonEmpty, "touched buckets get new leaves")
+
+    val rows = t.read(spark).get
+    assert(rows.columns.toSeq == Seq("id", "v"), "_b stays a layout detail")
+    val byId = rows.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byId.size == 101 && byId(1) == "X" && byId(999) == "new" && byId(2) == "v2")
+
+    // replay idempotent; untouched leaves reused again
+    t.mergeInto(spark, Seq((1, "X"), (999, "new")).toDF("id", "v"), Seq("id"))
+    assert(t.read(spark).get.count() == 101)
+    // time travel still sees the pre-merge content
+    assert(t.readSnapshot(spark, 1).count() == 100)
+  }
+
   test("deleteWhere removes matching rows only") {
     val t = IceLite(tmp())
     t.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))

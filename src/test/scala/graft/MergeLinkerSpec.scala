@@ -170,6 +170,30 @@ class MergeLinkerSpec extends SparkTestBase {
     assert(plain == Set(("spark", false), ("customer", false)))
   }
 
+  test("federated registry: linking spans all indexers, rw head shadows stale rows (S14)") {
+    import graft.core.{EntityRecord, InputDoc, Span, SpanOps}
+    import graft.kb.Registry
+    val ro = Registry.seed(spark).toDF()
+    // an rw head carrying a previously-NIL surface + a stale shadow of id 1
+    val rw = spark.createDataset(Seq(
+      EntityRecord(17L, Registry.RwIndexer, -1L, -1L, -1L, "fast key",
+        "novel", "PRODUCT", graft.link.Embed.embed("fast key")),
+      EntityRecord(1L, 0, -1L, -1L, -1L, "SHOULD-BE-SHADOWED", "stale",
+        "ORG", graft.link.Embed.embed("spark"))))(
+      org.apache.spark.sql.Encoders.product[EntityRecord]).toDF()
+    val fed = Registry.federate(Seq(rw, ro)) // later table (ro=seed) wins
+    assert(fed.count() == 17) // 16 seed + 1 novel; stale dup collapsed
+    val title1 = fed.filter(col("id") === 1 && col("indexer") === 0)
+      .select("title").collect()(0).getString(0)
+    assert(title1 == "spark", "seed row must shadow the stale duplicate")
+    // end-to-end: "fast key" now links instead of going NIL
+    val docs = spark.createDataset(Seq(
+      InputDoc("x", SpanOps.withOffsets(Seq(Span("text", "fast key works", "", 0))))))
+    val res = Pipeline.run(spark, docs, fed)
+    val row = res.linked.filter(col("mention") === "fast key").collect()(0)
+    assert(!row.getAs[Boolean]("is_nil") && row.getAs[Long]("entity_id") == 17L)
+  }
+
   test("linker: exact-title match links, zero-candidate is NIL, DATE skips") {
     import graft.core.{InputDoc, Span, SpanOps}
     val docs = spark.createDataset(Seq(

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BenchCluster ships graft classes to standalone executors via
+// spark.jars — keep the package jar fresh whenever a main runs.
+Compile / run := (Compile / run).dependsOn(Compile / packageBin).evaluated
+Compile / runMain := (Compile / runMain).dependsOn(Compile / packageBin).evaluated
 // Pass the forked JVM's stdout through unprefixed: the bench/verify
 // driver machine-parses a JSON line from run output, and sbt's default
 // logger buries it under "[info]" prefixes.
@@ -42,9 +46,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // A FIXED young gen (quarter of heap, capped 6g) beats adaptive
   // sizing under 32 allocating task threads: GC fell 409 -> 84 core-s
   // on the profiled pipeline run.
-  "-XX:+UseParallelGC",
-  s"-XX:NewSize=${graftYoungGen}", s"-XX:MaxNewSize=${graftYoungGen}",
-) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))
+) ++ graftGcOpts ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))
+
+// SPARK_GRAFT_GC=parallel (default) | g1 — A/B-able without editing here.
+def graftGcOpts: Seq[String] =
+  sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") match {
+    case "g1" => Seq("-XX:+UseG1GC")
+    case _ => Seq("-XX:+UseParallelGC",
+      s"-XX:NewSize=${graftYoungGen}", s"-XX:MaxNewSize=${graftYoungGen}")
+  }
 
 def graftYoungGen: String = {
   val memGb = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")

@@ -23,11 +23,22 @@ object Bench {
       d.toString
     } catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
 
+  /** Partition count for the scaling ladder. Deliberately LEVEL-
+    * INDEPENDENT: on a real cluster the partitioning is a property of
+    * the DATA (splits ~128 MB), and going N -> 4N executors changes only
+    * how many run at once. Tying partitions to the core count (round 2's
+    * first attempt) both changed the job between levels and let
+    * partition SIZE grow with the input — 640k docs in 2-8 shuffle
+    * partitions spilled and GC-thrashed, measuring ~2x per-doc slowdown
+    * vs the same input in 64 partitions.
+    */
+  def scaleParts: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "64").toInt
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", scaleParts.toString)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,9 +68,10 @@ object Bench {
     // the sf corpus is one small parquet file (1-2 input splits): without
     // an explicit repartition the heavy narrow NER/embedding chain runs on
     // one or two threads no matter the parallelism level — repartition to
-    // ~2 partitions/core so the job actually exercises the cores (at
-    // 100 TB the table has thousands of splits and this is a no-op).
-    val parts = spark.sparkContext.defaultParallelism * 2
+    // a fixed level-independent count (see scaleParts: the data's
+    // partitioning must not change between ladder levels; at 100 TB the
+    // table has thousands of splits and this is a no-op).
+    val parts = scaleParts
     // repartition BEFORE the replicate flatMap: the sf parquet is 1-2
     // splits, and expanding 64x on two threads is a serial bottleneck;
     // expanded rows stay in their partitions (doc_ids unique, downstream
@@ -68,12 +80,21 @@ object Bench {
       (if (replicate <= 1) base.repartition(parts)
        else base.repartition(parts).flatMap(d => (0 until replicate).map(r =>
          d.copy(doc_id = s"${d.doc_id}_$r"))))
-        // cache: the pipeline fans out to text/trie/regex/media scans —
-        // without this each re-runs the read+replicate+shuffle chain
-        .cache()
-    val nDocs = docs.count()
-    val res = Pipeline.run(spark, docs, graft.kb.Registry.seed(spark).toDF())
-    val nTriples = res.triples.count()
+        // persist: the pipeline fans out to text/trie/regex/media scans —
+        // without this each re-runs the read+replicate+shuffle chain.
+        // Same storage policy as the checkpoints (Ckpt.storage).
+        .persist(Ckpt.storage)
+    val verbose = sys.env.get("SPARK_GRAFT_PHASES").contains("1")
+    def ph[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (verbose) println(f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+    val nDocs = ph("docs.count")(docs.count())
+    val res = ph("Pipeline.run")(
+      Pipeline.run(spark, docs, graft.kb.Registry.seed(spark).toDF()))
+    val nTriples = ph("triples.count")(res.triples.count())
     docs.unpersist()
     (nDocs, nTriples)
   }
@@ -81,13 +102,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Scaling evidence needs a compute-dominated job: the ~11 s serial
+    // Scaling evidence needs a compute-dominated job: the ~15 s serial
     // driver fraction (planning, AQE, eager checkpoint job barriers —
     // measured level-INDEPENDENT at replicate=1) Amdahl-caps small jobs
-    // at ~0.4 efficiency regardless of plan quality, so the default
-    // replication amortizes it (80k docs per level run; the local[2]
-    // leg bounds how large the input can be per run).
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "16").toInt
+    // regardless of plan quality. After the GC/tmpfs/cogroup fixes the
+    // pipeline runs ~0.85 core-ms/doc, so 640k docs (~540 core-s of
+    // parallel work) are needed before the parallel fraction dominates
+    // at every level of the scaling ladder.
+    // Heap-adaptive default: 640k docs needs ~24g+ of JVM heap (caches +
+    // checkpoint blocks); on a smaller heap (e.g. a driver running this
+    // without SPARK_DRIVER_MEM) fall back to the 80k-doc input rather
+    // than GC-thrash.
+    val heapG = Runtime.getRuntime.maxMemory / (1L << 30)
+    val replicate = sys.env.get("SPARK_GRAFT_REPLICATE")
+      .map(_.toInt).getOrElse(if (heapG >= 24) 128 else 16)
 
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 
@@ -103,8 +131,23 @@ object Bench {
     }
     s1.stop()
 
-    // ---- scaling evidence: same KB job at local[8] vs local[32] -------
-    def timed(c: Int): (Double, Long, Long) = {
+    // ---- scaling evidence: same KB job at N vs 4N -----------------------
+    // Two modes. "jvms" (default): N vs 4N standalone EXECUTOR JVMs on
+    // loopback (BenchCluster) — the faithful reading of the rule; each
+    // level's executors have identical cores+heap, so only genuine
+    // scale-out effects differ between levels. "threads": the older
+    // local[k] thread ladder (kept for comparison; conflates scale-out
+    // with single-JVM GC + memory-bus artifacts).
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "jvms")
+    val execCores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
+    val execMemG = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_G", "10").toInt
+    // Executors are the unit being scaled; keep their storage pool out of
+    // the picture entirely (checkpoint + input blocks on tmpfs disk) so
+    // a small-executor-count level is not starved by eviction storms.
+    if (mode != "threads" && !sys.props.contains("graft.ckpt.level") &&
+        !sys.env.contains("SPARK_GRAFT_CKPT_LEVEL"))
+      sys.props("graft.ckpt.level") = "disk"
+    def timedThreads(c: Int): (Double, Long, Long) = {
       val s = session(c)
       // warm-up pass at tiny scale so codegen/classloading is excluded
       kbJob(s, sfDir.replace("sf0.1", "sf0.001"), 1)
@@ -114,6 +157,20 @@ object Bench {
       s.stop()
       (sec, docs, triples)
     }
+    def timedJvms(workers: Int): (Double, Long, Long) = {
+      val c = BenchCluster.start(workers, execCores, execMemG)
+      try {
+        val s = BenchCluster.session(c, workers, execCores, execMemG - 1)
+        kbJob(s, sfDir.replace("sf0.1", "sf0.001"), 1)
+        val t0 = System.nanoTime()
+        val (docs, triples) = kbJob(s, sfDir, replicate)
+        val sec = (System.nanoTime() - t0) / 1e9
+        s.stop()
+        (sec, docs, triples)
+      } finally c.shutdown()
+    }
+    def timed(c: Int): (Double, Long, Long) =
+      if (mode == "threads") timedThreads(c) else timedJvms(c)
     // single-level mode: honest per-JVM isolation (JIT/GC state from one
     // level otherwise bleeds into the other)
     val onlyLevel = sys.env.get("SPARK_GRAFT_ONLY_LEVEL")
@@ -138,7 +195,10 @@ object Bench {
     // inflation at 32 threads on shuffle-heavy stages) and understates
     // what a real 4x-executor cluster gets.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "2,8,32")
+    // jvms mode: 2 vs 8 executor JVMs (x execCores each) = N vs 4N
+    // executors; threads mode: local[2]/local[8]/local[32].
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS",
+        if (mode == "threads") "2,8,32" else "2,8")
       .split(",").map(_.trim.toInt).toSeq
     val runs = (1 to reps).flatMap(_ => levels.map(l => l -> timed(l)))
     def best(lvl: Int) = runs.filter(_._1 == lvl).map(_._2).minBy(_._1)
@@ -152,17 +212,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val lvlName: Int => String =
+      if (mode == "threads") l => s"local$l" else l => s"executors$l"
     val perLevel = levels.map { l =>
-      s""""local$l":{"sec":${by(l)._1},"docs_per_sec":${tput(l)}}"""
+      s""""${lvlName(l)}":{"sec":${by(l)._1},"docs_per_sec":${tput(l)}}"""
     }.mkString("{", ",", "}")
     val pairJson = pairs.map { case (a, b) =>
       s""""eff_${a}_$b":${eff(a, b)}"""
     }.mkString("{", ",", "}")
+    val pairDesc =
+      if (mode == "threads")
+        s"local[${primary._1}] -> local[${primary._2}] threads (see BENCH.md)"
+      else
+        s"${primary._1} -> ${primary._2} standalone executor JVMs x " +
+          s"$execCores cores, ${execMemG}g each (N vs 4N executors per " +
+          "the north rule; separate heaps per executor as on a real cluster)"
     val pipeline =
       s"""{"docs":${by(levels.head)._2},"triples":${triplesAll.head},""" +
-      s""""triples_check_equal":${triplesAll.size == 1},""" +
+      s""""triples_check_equal":${triplesAll.size == 1},"mode":"$mode",""" +
       s""""levels":$perLevel,"scaling_pairs":$pairJson,""" +
-      s""""primary_pair":"local[${primary._1}] -> local[${primary._2}] (N vs 4N; see BENCH.md: <=8 threads keeps the single box's memory bus unsaturated, the faithful proxy for 4x executor machines)",""" +
+      s""""primary_pair":"$pairDesc",""" +
       s""""scaling_efficiency":${eff(primary._1, primary._2)}}"""
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kb_pipeline":$pipeline}""")
   }

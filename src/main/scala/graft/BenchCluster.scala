@@ -1,0 +1,168 @@
+package graft
+
+import java.io.File
+import java.net.{InetSocketAddress, Socket}
+import org.apache.spark.sql.SparkSession
+
+/** Local Spark STANDALONE cluster harness for the north-rule scaling
+  * evidence: one master + N worker JVMs on 127.0.0.1, each worker running
+  * one executor with a fixed core count and its OWN heap.
+  *
+  * Rationale: the rule's criterion is N vs 4N EXECUTORS. A thread ladder
+  * inside a single local[k] JVM conflates scale-out with two single-JVM
+  * artifacts a real cluster does not have: (a) one shared young
+  * generation, so GC cost scales with TOTAL thread count and stop-the-
+  * world pauses act as a serial fraction; (b) one memory bus saturated by
+  * k threads. Separate executor JVMs (the thing actually being scaled in
+  * production) keep per-executor heap and allocation rate CONSTANT across
+  * ladder levels — only genuine cross-executor effects (shuffle fan-out,
+  * scheduler pressure) change, which is exactly what the rule measures on
+  * a real cluster.
+  *
+  * Everything ships with stock Spark (org.apache.spark.deploy.Master /
+  * Worker on the /opt/spark/jars classpath); no scripts, no network
+  * beyond loopback.
+  */
+object BenchCluster {
+
+  private val SparkJars = "/opt/spark/jars/*"
+
+  /** Same JDK17 module opens the driver needs (build.sbt) — master and
+    * worker JVMs need them too (netty/unsafe).
+    */
+  private val Jdk17Opens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** The application jar executors need on their classpath (graft classes
+    * + closures). build.sbt makes runMain depend on packageBin, so it is
+    * always fresh when Bench runs.
+    */
+  def appJar: String = {
+    val dir = new File("target/scala-2.13")
+    val jars = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("ikbpspark") && f.getName.endsWith(".jar"))
+    require(jars.nonEmpty, s"app jar not found under $dir — run `sbt package`")
+    jars.maxBy(_.lastModified).getAbsolutePath
+  }
+
+  final case class Cluster(masterUrl: String, procs: Seq[Process], logDir: File) {
+    def shutdown(): Unit = procs.reverse.foreach { p =>
+      p.destroy()
+      if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+    }
+  }
+
+  private def spawn(cls: String, args: Seq[String], log: File,
+                    extraEnv: Map[String, String]): Process = {
+    val cmd = (Seq("java", "-cp", SparkJars, "-Xmx1g",
+      "-Dspark.ui.enabled=false") ++ Jdk17Opens :+ cls) ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val env = pb.environment()
+    extraEnv.foreach { case (k, v) => env.put(k, v) }
+    pb.start()
+  }
+
+  private def portOpen(port: Int): Boolean = {
+    val s = new Socket()
+    try { s.connect(new InetSocketAddress("127.0.0.1", port), 250); true }
+    catch { case _: Throwable => false }
+    finally s.close()
+  }
+
+  /** Start master + `workers` worker JVMs, each advertising `coresPer`
+    * cores and `memG` GiB. Blocks until the master port accepts.
+    */
+  def start(workers: Int, coresPer: Int, memG: Int): Cluster = {
+    val logDir = new File(s"/tmp/graft-cluster-${System.nanoTime()}")
+    logDir.mkdirs()
+    val port = (0 until 50).map(7177 + _).find(!portOpen(_))
+      .getOrElse(sys.error("no free master port"))
+    val masterUrl = s"spark://127.0.0.1:$port"
+    val env = Map("SPARK_LOCAL_DIRS" -> Bench.localDir,
+      "SPARK_NO_DAEMONIZE" -> "1", "SPARK_LOCAL_IP" -> "127.0.0.1",
+      // the worker builds each executor's command from a SPARK_HOME
+      // layout (jars under $SPARK_HOME/jars) + the scala version
+      "SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13")
+    val m = spawn("org.apache.spark.deploy.master.Master",
+      Seq("--host", "127.0.0.1", "--port", port.toString, "--webui-port", "0"),
+      new File(logDir, "master.log"), env)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!portOpen(port)) {
+      if (System.nanoTime() > deadline) sys.error(s"master did not bind: $logDir")
+      Thread.sleep(200)
+    }
+    val ws = (1 to workers).map { i =>
+      spawn("org.apache.spark.deploy.worker.Worker",
+        Seq(masterUrl, "--cores", coresPer.toString, "--memory", s"${memG}g",
+          "--port", "0", "--webui-port", "0",
+          "--work-dir", new File(logDir, s"worker$i").getAbsolutePath),
+        new File(logDir, s"worker$i.log"), env)
+    }
+    Cluster(masterUrl, m +: ws, logDir)
+  }
+
+  /** SparkSession on the standalone cluster: one executor per worker
+    * (executor.cores = worker cores), fixed per-executor heap — the
+    * quantity held constant while the ladder scales the executor COUNT.
+    */
+  def session(c: Cluster, workers: Int, coresPer: Int, execMemG: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(c.masterUrl)
+      .appName(s"graft-bench-${workers}x$coresPer")
+      .config("spark.executor.cores", coresPer.toString)
+      .config("spark.executor.memory", s"${execMemG}g")
+      .config("spark.cores.max", (workers * coresPer).toString)
+      // Each executor must size itself for ITS slice of the box, not the
+      // whole box: without ActiveProcessorCount an 8-executor level
+      // spawns 8 x ~20 GC/JIT/netty threads sized for 32 CPUs (observed
+      // loadavg 64 on 32 cores — thrash that penalizes exactly the 4N
+      // level). On a real cluster this is what container CPU limits do.
+      .config("spark.executor.extraJavaOptions",
+        s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPer")
+      .config("spark.jars", appJar)
+      // long stop-the-world pauses + a busy driver must not get an
+      // executor (and its lineage-truncated checkpoint blocks) removed
+      .config("spark.network.timeout", "300s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.sql.shuffle.partitions", Bench.scaleParts.toString)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.localDir)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_PHASES").contains("1"))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          if (wall > 0.5)
+            println(f"[stage] ${i.stageId}%4d wall=$wall%6.1fs " +
+              f"run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+              f"gc=${m.jvmGCTime / 1e3}%6.1fs tasks=${i.numTasks}%4d ${i.name.take(50)}")
+        }
+      })
+    // wait for every executor to register so the timed run sees full
+    // parallelism from its first stage
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    while (s.sparkContext.getExecutorMemoryStatus.size - 1 < workers) {
+      if (System.nanoTime() > deadline)
+        sys.error(s"only ${s.sparkContext.getExecutorMemoryStatus.size - 1}" +
+          s"/$workers executors registered; logs: ${c.logDir}")
+      Thread.sleep(300)
+    }
+    s
+  }
+}

@@ -10,9 +10,11 @@ object DevProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val totRun = new java.util.concurrent.atomic.AtomicLong
@@ -51,6 +53,17 @@ object DevProfile {
                   d.copy(doc_id = s"${d.doc_id}_$r"))))
       .repartition(parts).cache()
     time("docs")(println("docs=" + docs.count()))
+    // Full-pipeline-only mode: skip the scratch stage sections and
+    // profile exactly what Bench.kbJob runs (Pipeline.run + count).
+    if (sys.env.get("SPARK_GRAFT_PROF_FULL_ONLY").contains("1")) {
+      val t0 = System.nanoTime()
+      val res = Pipeline.run(spark, docs, graft.kb.Registry.seed(spark).toDF())
+      println(f"[prof] full-run plan+checkpoints: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      time("triples count")(println("triples=" + res.triples.count()))
+      println(f"[totals] run=${totRun.get / 1e3}%.1f core-s cpu=${totCpu.get / 1e3}%.1f core-s gc=${totGc.get / 1e3}%.1f core-s")
+      spark.stop()
+      return
+    }
     val trie = graft.ner.TrieNer.mentions(spark, docs).localCheckpoint(true)
     time("trie eager")(())
     val regex = graft.ner.RegexNer.mentions(spark, docs).localCheckpoint(true)

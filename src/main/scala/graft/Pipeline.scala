@@ -60,7 +60,7 @@ object Pipeline {
     // column dragged through every downstream shuffle of `linked`.
     val (linkedRaw, mentionCandidates) =
       Linker.linkWithCandidates(spark, merged, text, registry)
-    val linked = linkedRaw.localCheckpoint(true)
+    val linked = Ckpt(linkedRaw)
 
     val nil = linked.filter(col("is_nil") &&
       // DATE-skip mentions never cluster (reference P3/P7 interplay)
@@ -106,7 +106,7 @@ object Pipeline {
         val withIds = sortedDf.rdd.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + i + 1L))
         }
-        spark.createDataFrame(withIds, schema).localCheckpoint(true)
+        Ckpt(spark.createDataFrame(withIds, schema))
       }
 
     val assignments = assignRaw.join(
@@ -139,7 +139,7 @@ object Pipeline {
         when(col("nil_name").isNotNull, col("cluster_type"))
           .otherwise(col("entity_type")))
       .filter(col("name").isNotNull)
-      .localCheckpoint(true)
+      .transform(Ckpt(_))
 
     val mentionsT = resolved.select(
       col("doc_id"),

@@ -751,6 +751,29 @@ object SparkEntry {
          SELECT a, b, shared * 1.0 / (sa.nsh + sb.nsh - shared) AS jaccard
          FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8""",
+    // Simhash bit i of a shingle = bit (i%4) of md5-hex-nibble i/4 —
+    // md5 is bit-identical in Spark and DuckDB, so the oracle recomputes
+    // the full simhash. Brute-force all-pairs here IS the oracle for the
+    // chunk-blocked Spark plan: 16-bit-chunk pigeonhole has exact recall
+    // at hamming<=3, so the row sets must match exactly.
+    "t8_simhash" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t)-2)]) AS shingle
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         acc AS (
+           SELECT doc_id, i,
+                  SUM(CASE WHEN (((strpos('0123456789abcdef',
+                                          substr(md5(shingle), (i // 4) + 1, 1)) - 1)
+                                  >> (i % 4)) & 1) = 1
+                           THEN 1 ELSE -1 END) AS s
+           FROM sh, range(0, 64) r(i) GROUP BY 1, 2),
+         bits AS (SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM acc)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+                CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+         FROM bits x JOIN bits y ON x.i = y.i AND x.doc_id < y.doc_id
+         GROUP BY 1, 2
+         HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3""",
     "t9_embed_neardup" ->
       """WITH b AS (
            SELECT vec_id, band,

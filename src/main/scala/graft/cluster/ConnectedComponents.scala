@@ -33,7 +33,7 @@ object ConnectedComponents {
       .distinct()
       .cache()
 
-    var labels = v.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    var labels = graft.Ckpt(v.select(col("id"), col("id").as("comp")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -50,7 +50,7 @@ object ConnectedComponents {
       // every iteration and the optimizer itself becomes the bottleneck.
       val jumped = updated.join(compLabels, updated("comp") === col("cid"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .transform(graft.Ckpt(_))
       changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
         .filter(col("comp") =!= col("old")).count()
       labels = jumped

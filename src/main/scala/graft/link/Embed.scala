@@ -23,13 +23,25 @@ object Embed {
     val s = "" + text.toLowerCase + ""
     var i = 0
     while (i + 3 <= s.length) {
-      val h = MurmurHash3.stringHash(s.substring(i, i + 3), Seed)
+      val h = triHash(s.charAt(i), s.charAt(i + 1), s.charAt(i + 2))
       val idx = math.floorMod(h, dim)
       val sign = if ((h & 0x40000000) == 0) 1f else -1f
       v(idx) += sign
       i += 1
     }
     l2(v)
+  }
+
+  /** MurmurHash3.stringHash(s, Seed) for a 3-char string, inlined via the
+    * public mix/mixLast/finalizeHash API — BIT-IDENTICAL to the substring
+    * version (property-tested in EmbedSpec) but allocation-free: the
+    * substring variant allocated one 3-char String per input CHARACTER,
+    * i.e. hundreds of millions of young-gen objects per million mentions.
+    */
+  def triHash(c0: Char, c1: Char, c2: Char): Int = {
+    var h = MurmurHash3.mix(Seed, (c0 << 16) + c1)
+    h = MurmurHash3.mixLast(h, c2.toInt)
+    MurmurHash3.finalizeHash(h, 3)
   }
 
   /** Mention-in-context embedding: mention dominates, context nudges —

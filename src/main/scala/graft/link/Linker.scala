@@ -114,19 +114,13 @@ object Linker {
       .join(broadcast(regTokens), Seq("token"))
       .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
 
+    // Only the ranking score is computed for EVERY candidate pair; the
+    // remaining features (norm_score, jaccard, levenshtein) are deferred
+    // past the top-k window — the window ranks on cross_score alone, so
+    // feature work drops from all-pairs to <=k rows per mention (the
+    // optimizer cannot defer expressions past a window by itself).
     val scored = pairs
       .withColumn("bi_score", Similarity.dotCol(col("m_emb"), col("e_emb")))
-      // norm_score = dot / max(|a|,|b|)^2 (indexer/main.py:313-317);
-      // reuse the dot and bind the max-norm once (pow), instead of
-      // recomputing the two norms four times
-      .withColumn("norm_score",
-        col("bi_score") /
-          pow(greatest(Similarity.normCol(col("m_emb")),
-            Similarity.normCol(col("e_emb"))), 2))
-      .withColumn("jacc", jaccardUdf(col("mention"), col("title")))
-      .withColumn("lev_sim",
-        lit(1.0) - levenshtein(lower(col("mention")), lower(col("title"))).cast("double") /
-          greatest(length(col("mention")), length(col("title")), lit(1)).cast("double"))
 
     val ranked =
       if (rerank)
@@ -141,6 +135,17 @@ object Linker {
     ranked
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
+      // norm_score = dot / max(|a|,|b|)^2 (indexer/main.py:313-317);
+      // reuse the dot and bind the max-norm once (pow), instead of
+      // recomputing the two norms four times
+      .withColumn("norm_score",
+        col("bi_score") /
+          pow(greatest(Similarity.normCol(col("m_emb")),
+            Similarity.normCol(col("e_emb"))), 2))
+      .withColumn("jacc", jaccardUdf(col("mention"), col("title")))
+      .withColumn("lev_sim",
+        lit(1.0) - levenshtein(lower(col("mention")), lower(col("title"))).cast("double") /
+          greatest(length(col("mention")), length(col("title")), lit(1)).cast("double"))
       .select("doc_id", "annset", "ann_id", "entity_id", "title", "type_",
         "bi_score", "norm_score", "jacc", "lev_sim", "cross_score", "rank")
   }
@@ -213,7 +218,7 @@ object Linker {
         col("bi_score"), col("norm_score"), col("jacc"), col("lev_sim"))))
         .as("candidates"))
       .withColumn("top_candidate", element_at(col("candidates"), 1))
-      .localCheckpoint(true)
+      .transform(graft.Ckpt(_))
 
     // candidate-score stats are NIL features (mean/median/stdev,
     // nilpredictor/main.py:139-152); top-candidate features join along

@@ -128,15 +128,22 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Per-shingle 64-bit projection = the first 16 hex nibbles of
+    * md5(shingle). md5 is available bit-identically in Spark AND DuckDB,
+    * which makes the whole simhash pipeline oracle-checkable in SQL
+    * (bit i of shingle s = ((hexval(md5(s)[i/4]) >> (i%4)) & 1).
+    */
   private val simhashUdf = udf((shingles: Seq[String]) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new Array[Int](SimHashBits)
     shingles.foreach { s =>
-      val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
-      val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var i = 0
       while (i < SimHashBits) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        val nib = i >> 2                   // hex-char index in the md5 string
+        val byte = d(nib >> 1) & 0xff
+        val nibVal = if ((nib & 1) == 0) (byte >>> 4) & 0xf else byte & 0xf
+        if (((nibVal >> (i & 3)) & 1) == 1) acc(i) += 1 else acc(i) -= 1
         i += 1
       }
     }

@@ -53,6 +53,16 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("triHash is bit-identical to MurmurHash3.stringHash on trigrams (property)") {
+    import scala.util.hashing.MurmurHash3
+    val ch = Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.oneOf('\u0001', '\u0002', ' ', '\u00e9', '\u4e2d')))
+    check(Prop.forAll(ch, ch, ch) { (a, b, c) =>
+      graft.link.Embed.triHash(a, b, c) ==
+        MurmurHash3.stringHash(new String(Array(a, b, c)), 0x9747b28c)
+    })
+  }
+
   test("jaccard bounded in [0,1] and 1 iff equal token sets (property)") {
     val s = Gen.listOfN(4, word).map(_.mkString(" "))
     check(Prop.forAll(s, s) { (a, b) =>

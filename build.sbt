@@ -57,8 +57,14 @@ def graftGcOpts: Seq[String] =
   }
 
 def graftYoungGen: String = {
-  val memGb = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-    .toLowerCase.stripSuffix("g").toDouble
+  // Accept "8g"/"8G"/"8192m"/"8192M" (and stray whitespace); fall back to
+  // the 8g default on anything unparseable rather than failing the build.
+  val raw = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val memGb =
+    try {
+      if (raw.endsWith("m")) raw.stripSuffix("m").trim.toDouble / 1024
+      else raw.stripSuffix("g").trim.toDouble
+    } catch { case _: NumberFormatException => 8.0 }
   val younGb = math.max(1, math.min(6, (memGb / 4).toInt))
   s"${younGb}g"
 }

@@ -237,9 +237,25 @@ object NilCluster {
       .withColumnRenamed("id", "surface").withColumnRenamed("comp", "c1")
     val s1 = surfaces.join(cc1, Seq("surface"))
 
-    val l = s1.select(col("c1"), col("surface").as("src"), col("emb").as("eA"))
-    val r = s1.select(col("c1"), col("surface").as("dst"), col("emb").as("eB"))
-    val e2 = l.join(r, Seq("c1")).filter(col("src") < col("dst"))
+    // Stage-2 guard: the within-c1 self-join is quadratic in the largest
+    // stage-1 component, and a transitive chain of near-dup surfaces can
+    // grow a component without limit — BlockCap on the BLOCKS does not
+    // bound it. Components above BlockCap are sub-blocked by embedding
+    // sign bucket (stage 2 merges on embedding cosine, so near pairs
+    // share sign buckets); sub-blocks still above the cap are dropped
+    // from pair generation — the same graceful-recall rule as
+    // blockedPairsDF, never a quadratic blowup. Sub-cap components keep
+    // the exact all-pairs join (sub pinned to -1).
+    val c1Sizes = s1.groupBy("c1").agg(count(lit(1)).as("c1n"))
+    val s1k = s1.join(c1Sizes, Seq("c1"))
+      .withColumn("sub",
+        when(col("c1n") > BlockCap, signBucketUdf(col("emb"))).otherwise(lit(-1)))
+    val subOk = s1k.groupBy("c1", "sub").agg(count(lit(1)).as("subn"))
+      .filter(col("subn") <= BlockCap).select("c1", "sub")
+    val s1c = s1k.join(subOk, Seq("c1", "sub"))
+    val l = s1c.select(col("c1"), col("sub"), col("surface").as("src"), col("emb").as("eA"))
+    val r = s1c.select(col("c1"), col("sub"), col("surface").as("dst"), col("emb").as("eB"))
+    val e2 = l.join(r, Seq("c1", "sub")).filter(col("src") < col("dst"))
       .filter(cosDistUdf(col("eA"), col("eB")) < Stage2Threshold)
       .select("src", "dst")
     val cc2 = ConnectedComponents.run(spark,
@@ -274,11 +290,34 @@ object NilCluster {
       if (bigPart.isEmpty) small
       else {
         val bigSurf = bigPart.select(col("cluster_key").as("pk"), col("surface")).distinct()
-        val eb = bigSurf.select(col("pk"), col("surface").as("src"))
-          .join(bigSurf.select(col("pk"), col("surface").as("dst")), Seq("pk"))
+        // breakup pair guard: oversize-cluster groups (> BlockCap) switch
+        // from all-pairs to token/prefix blocking within the group (the
+        // breakup criterion is STRING distance, so near pairs share
+        // token or 2-char-prefix keys), capped like blockedPairsDF;
+        // sub-cap groups keep the exact all-pairs join
+        val pkSizes = bigSurf.groupBy("pk").agg(count(lit(1)).as("pn"))
+        val pkSmall = bigSurf.join(
+          pkSizes.filter(col("pn") <= BlockCap).select("pk"), Seq("pk"))
+        val pkHuge = bigSurf.join(
+          pkSizes.filter(col("pn") > BlockCap).select("pk"), Seq("pk"))
+        val ebSmall = pkSmall.select(col("pk"), col("surface").as("src"))
+          .join(pkSmall.select(col("pk"), col("surface").as("dst")), Seq("pk"))
           .filter(col("src") < col("dst"))
-          .filter(damLevNormUdf(col("src"), col("dst")) < BreakupThreshold)
           .select("src", "dst")
+        val hugeKeyed = pkHuge.withColumn("bkey", explode(array_union(
+          array_distinct(split(col("surface"), "\\s+")),
+          array(substring(col("surface"), 1, 2)))))
+        val hugeOk = hugeKeyed.groupBy("pk", "bkey")
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= BlockCap).select("pk", "bkey")
+        val hugeCapped = hugeKeyed.join(hugeOk, Seq("pk", "bkey"))
+        val ebHuge = hugeCapped.select(col("pk"), col("bkey"), col("surface").as("src"))
+          .join(hugeCapped.select(col("pk"), col("bkey"), col("surface").as("dst")),
+            Seq("pk", "bkey"))
+          .filter(col("src") < col("dst"))
+          .select("src", "dst").distinct()
+        val eb = ebSmall.unionByName(ebHuge)
+          .filter(damLevNormUdf(col("src"), col("dst")) < BreakupThreshold)
         val ccb = ConnectedComponents.run(spark,
           bigSurf.select(col("surface").as("id")), eb)
           .withColumnRenamed("id", "surface").withColumnRenamed("comp", "new_key")
@@ -287,21 +326,43 @@ object NilCluster {
         small.unionByName(rebuilt.select(small.columns.map(col): _*))
       }
 
-    // medoid center per final cluster
+    // medoid center per final cluster. The exact medoid needs an
+    // all-pairs distance sum — quadratic in cluster size, so it is
+    // gated to clusters <= BlockCap; above the cap the center is the
+    // member nearest the centroid (O(n), deterministic tie-break) — the
+    // standard scale approximation, and within-tolerance for the NIL
+    // center's only consumer (new-entity embedding).
     val fin = result.select("surface", "emb", "cluster_key").cache()
-    val fa = fin.select(col("cluster_key"), col("surface").as("sA"), col("emb").as("eA"))
-    val fb = fin.select(col("cluster_key"), col("surface").as("sB"), col("emb").as("eB"))
+    val finSizes = fin.groupBy("cluster_key").agg(count(lit(1)).as("fn"))
+    val finSmall = fin.join(
+      finSizes.filter(col("fn") <= BlockCap).select("cluster_key"), Seq("cluster_key"))
+    val finBig = fin.join(
+      finSizes.filter(col("fn") > BlockCap).select("cluster_key"), Seq("cluster_key"))
+
+    val fa = finSmall.select(col("cluster_key"), col("surface").as("sA"), col("emb").as("eA"))
+    val fb = finSmall.select(col("cluster_key"), col("surface").as("sB"), col("emb").as("eB"))
     val sums = fa.join(fb, Seq("cluster_key"))
       .filter(col("sA") =!= col("sB"))
       .withColumn("d", cosDistUdf(col("eA"), col("eB")))
       .groupBy(col("cluster_key"), col("sA")).agg(sum(col("d")).as("sumd"))
-    val med = fin
+    val medSmall = finSmall
       .join(sums.withColumnRenamed("sA", "surface"), Seq("cluster_key", "surface"), "left")
       .withColumn("sumd", coalesce(col("sumd"), lit(0.0)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_key")).orderBy(col("sumd").asc, col("surface").asc)))
       .filter(col("rn") === 1)
       .select(col("cluster_key"), col("emb").as("center"))
+
+    val centroids = finBig.groupBy(col("cluster_key"))
+      .agg(VectorAgg.meanVec(col("emb")).as("centroid"))
+    val medBig = finBig.join(centroids, Seq("cluster_key"))
+      .withColumn("d", cosDistUdf(col("emb"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_key")).orderBy(col("d").asc, col("surface").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_key"), col("emb").as("center"))
+
+    val med = medSmall.unionByName(medBig)
     fin.select("surface", "cluster_key").join(med, Seq("cluster_key"))
       .select("surface", "cluster_key", "center")
   }

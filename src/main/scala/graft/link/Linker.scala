@@ -36,15 +36,30 @@ object Linker {
 
   val TopK = 10
 
+  /** Registry rows above which the token index is no longer broadcast
+    * (the token-exploded index of a 10^8-entity registry does not fit an
+    * executor); overridable for tests via system property.
+    */
+  def broadcastMaxRows: Long =
+    sys.props.get("graft.linker.broadcastMaxRows").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** Salt fan-out for the non-broadcast candidate join. */
+  val TokenJoinSalts = 16
+
   /** NIL logistic model (fixture weights, reference model is a pickled
     * sklearn LR — nilpredictor/main.py:108-165): features
-    * (max_bi, jaccard, levenshtein_sim, mean, median, stdev) where the
-    * last three are candidate-score statistics over the mention's top-k
-    * list (nilpredictor/main.py:139-152). Weights are engine fixtures
-    * re-derived for the trigram embedding space: exact-title matches
-    * stay linked, token-overlap-only candidates stay NIL.
+    * (max_bi, max_cross, jaccard, levenshtein_sim, mean, median, stdev) —
+    * the reference LR consumes BOTH bi- and cross-encoder maxima
+    * (nilpredictor/main.py:120-152); the last three are candidate-score
+    * statistics over the mention's top-k list (main.py:139-152). Weights
+    * are engine fixtures re-derived for the trigram embedding space:
+    * exact-title matches stay linked, token-overlap-only candidates stay
+    * NIL. bi/cross split 1.0+1.0 so the rerank=false path (where
+    * cross_score == bi_score) scores identically to the historical
+    * single-2.0-weight model.
     */
-  val NilWeights: Array[Double] = Array(2.0, 2.0, 2.0, 1.0, 1.0, -0.5)
+  val NilWeights: Array[Double] = Array(1.0, 1.0, 2.0, 2.0, 1.0, 1.0, -0.5)
   val NilBias: Double = -4.0
 
   final case class LinkInput(
@@ -68,13 +83,18 @@ object Linker {
     val texts = docText.select(col("doc_id"), col("text"))
       .as[(String, String)].groupByKey(_._1)
     byDoc.cogroup(texts) { (doc, ms, ts) =>
-      val text = if (ts.hasNext) ts.next()._2 else ""
-      ms.map { mn =>
-        val cl = text.substring(math.max(0, mn.start - 30), mn.start)
-        val cr = text.substring(mn.end, math.min(text.length, mn.end + 30))
-        LinkInput(doc, mn.annset, mn.ann_id, mn.mention_type, mn.start,
-          mn.end, mn.mention, mn.skip, mn.gazetteer_id, cl, cr,
-          Embed.embedMention(cl, mn.mention, cr))
+      // a mention group with no text row is dropped whole — the inner-join
+      // semantics this cogroup replaced; slicing into "" would throw
+      if (!ts.hasNext) Iterator.empty
+      else {
+        val text = ts.next()._2
+        ms.map { mn =>
+          val cl = text.substring(math.max(0, mn.start - 30), mn.start)
+          val cr = text.substring(mn.end, math.min(text.length, mn.end + 30))
+          LinkInput(doc, mn.annset, mn.ann_id, mn.mention_type, mn.start,
+            mn.end, mn.mention, mn.skip, mn.gazetteer_id, cl, cr,
+            Embed.embedMention(cl, mn.mention, cr))
+        }
       }
     }
   }
@@ -110,8 +130,18 @@ object Linker {
           "\\s+"))))
       .filter(col("token") =!= "")
 
-    val pairs = mentionTokens
-      .join(broadcast(regTokens), Seq("token"))
+    // Broadcast-or-salt gate: the per-token registry slice is tiny, so a
+    // broadcast map-side join is skew-immune and shuffle-free while the
+    // registry fits an executor. Past `broadcastMaxRows` entities the
+    // token index must shuffle — then head tokens ("spark") would funnel
+    // into single reducers, so the mention side is salted and the token
+    // index replicated (identical output, hot keys spread `TokenJoinSalts`
+    // ways). registry.count() is one cheap job per pipeline run.
+    val joined =
+      if (registry.count() <= broadcastMaxRows)
+        mentionTokens.join(broadcast(regTokens), Seq("token"))
+      else saltedTokenJoin(mentionTokens, regTokens, TokenJoinSalts)
+    val pairs = joined
       .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
 
     // Only the ranking score is computed for EVERY candidate pair; the
@@ -149,6 +179,17 @@ object Linker {
       .select("doc_id", "annset", "ann_id", "entity_id", "title", "type_",
         "bi_score", "norm_score", "jacc", "lev_sim", "cross_score", "rank")
   }
+
+  /** Shuffle-side candidate join for registries that outgrow broadcast:
+    * mention tokens salted by mention key, registry token index
+    * replicated across salts (see [[graft.ops.SkewJoin.saltedJoin]]).
+    * Output rows identical to the broadcast join.
+    */
+  def saltedTokenJoin(mentionTokens: DataFrame, regTokens: DataFrame,
+                      salts: Int = TokenJoinSalts): DataFrame =
+    graft.ops.SkewJoin.saltedJoin(
+      mentionTokens, regTokens, "token",
+      Seq(col("doc_id"), col("annset"), col("ann_id")), salts)
 
   private val jaccardUdf =
     udf((a: String, b: String) => Similarity.jaccardTokens(a, b))
@@ -215,31 +256,38 @@ object Linker {
       .groupBy(col("doc_id"), col("annset"), col("ann_id"))
       .agg(array_sort(collect_list(struct(
         col("rank"), col("entity_id"), col("title"), col("type_"),
-        col("bi_score"), col("norm_score"), col("jacc"), col("lev_sim"))))
+        col("bi_score"), col("norm_score"), col("jacc"), col("lev_sim"),
+        col("cross_score"))))
         .as("candidates"))
       .withColumn("top_candidate", element_at(col("candidates"), 1))
       .transform(graft.Ckpt(_))
 
     // candidate-score stats are NIL features (mean/median/stdev,
     // nilpredictor/main.py:139-152); top-candidate features join along
+    // max_cross: the ranking is ordered by cross_score, so the rank-1
+    // row's cross_score IS the max over the mention's top-k list —
+    // no second pass needed (nilpredictor/main.py:120-131)
     val feats = candLists.select(
         col("doc_id"), col("annset"), col("ann_id"),
         col("top_candidate.entity_id").as("top_entity_id"),
         col("top_candidate.bi_score").as("max_bi"),
+        col("top_candidate.cross_score").as("max_cross"),
         col("top_candidate.jacc").as("jacc"),
         col("top_candidate.lev_sim").as("lev_sim"),
         scoreStatsUdf(transform(col("candidates"), c => c("bi_score"))).as("st"))
       .select(col("doc_id"), col("annset"), col("ann_id"),
-        col("top_entity_id"), col("max_bi"), col("jacc"), col("lev_sim"),
+        col("top_entity_id"), col("max_bi"), col("max_cross"),
+        col("jacc"), col("lev_sim"),
         col("st._1").as("sc_mean"), col("st._2").as("sc_median"),
         col("st._3").as("sc_stdev"))
 
     val sigArg = lit(NilWeights(0)) * col("max_bi") +
-      lit(NilWeights(1)) * col("jacc") +
-      lit(NilWeights(2)) * col("lev_sim") +
-      lit(NilWeights(3)) * col("sc_mean") +
-      lit(NilWeights(4)) * col("sc_median") +
-      lit(NilWeights(5)) * col("sc_stdev") + lit(NilBias)
+      lit(NilWeights(1)) * col("max_cross") +
+      lit(NilWeights(2)) * col("jacc") +
+      lit(NilWeights(3)) * col("lev_sim") +
+      lit(NilWeights(4)) * col("sc_mean") +
+      lit(NilWeights(5)) * col("sc_median") +
+      lit(NilWeights(6)) * col("sc_stdev") + lit(NilBias)
 
     val linkedPath = linkable.toDF()
       .join(feats, Seq("doc_id", "annset", "ann_id"), "left")
@@ -250,7 +298,7 @@ object Linker {
       .withColumn("entity_id",
         when(col("is_nil"), lit(-1L)).otherwise(col("top_entity_id")))
       .withColumn("bi_score", coalesce(col("max_bi"), lit(0.0)))
-      .drop("top_entity_id", "max_bi", "jacc", "lev_sim",
+      .drop("top_entity_id", "max_bi", "max_cross", "jacc", "lev_sim",
         "sc_mean", "sc_median", "sc_stdev")
 
     val unioned = skipPath.unionByName(linkedPath)

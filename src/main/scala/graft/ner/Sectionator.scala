@@ -78,20 +78,32 @@ object Sectionator {
   private val FattoRe = Pattern.compile("^FATTO (E DIRITTO)?$|^SENTENZA$")
   private val DispositivoRe = Pattern.compile(
     "P( )?(.)?( )?Q( )?(.)?( )?M|^MOTIV(AZION)?[EI]|PTM", Pattern.CASE_INSENSITIVE)
-  private val YearRe = Pattern.compile("[ \\.\\-/](\\d){2}(\\d){2}?")
+  // NOTE on the class: the reference's Python `[ \.-/]` parses `\.-/` as
+  // the RANGE '.'(0x2E)..'/'(0x2F) — a literal hyphen is NOT matched. The
+  // Java equivalent is therefore `[ ./]`, not `[ .\-/]` (which would also
+  // open firma_e_data on hyphen-separated dates where the reference
+  // would not).
+  private val YearRe = Pattern.compile("[ \\./](\\d){2}(\\d){2}?")
   private val JudgeRe = Pattern.compile(
     "presidente|giudice|GOT", Pattern.CASE_INSENSITIVE)
   private val RemotoRe = Pattern.compile("remoto", Pattern.CASE_INSENSITIVE)
 
-  /** Split keeping line terminators (Python splitlines(keepends=True)
-    * over \n-terminated text).
+  /** Split keeping line terminators (Python splitlines(keepends=True)):
+    * handles \n, \r\n and bare \r. Python additionally splits on exotic
+    * terminators (\v, \f, \x1c-\x1e, \x85, U+2028/2029) that never occur
+    * in the corpus — deliberately out of scope.
     */
   def splitKeepEnds(text: String): Array[String] = {
     val out = Array.newBuilder[String]
     var s = 0
     var i = 0
     while (i < text.length) {
-      if (text.charAt(i) == '\n') { out += text.substring(s, i + 1); s = i + 1 }
+      val c = text.charAt(i)
+      if (c == '\n') { out += text.substring(s, i + 1); s = i + 1 }
+      else if (c == '\r') {
+        val end = if (i + 1 < text.length && text.charAt(i + 1) == '\n') i + 2 else i + 1
+        out += text.substring(s, end); s = end; i = end - 1
+      }
       i += 1
     }
     if (s < text.length) out += text.substring(s)

@@ -31,6 +31,18 @@ object Ann {
       .select("query_id", "neighbor_id", "cos", "rnk")
   }
 
+  /** Max members per LSH bucket before the within-bucket self-join is
+    * refined (same rule as NilCluster.BlockCap): a skewed sign pattern —
+    * e.g. embeddings concentrated in one orthant — otherwise makes the
+    * bucket join quadratic (10^6 members -> 10^12 pairs). Buckets above
+    * the cap are split by a SECOND sign level (the next `dims` coords /
+    * next `planes` hyperplanes); refined buckets still above the cap are
+    * dropped from pair generation (graceful recall loss, never a blowup).
+    * Overridable for tests via system property.
+    */
+  def BucketCap: Int =
+    sys.props.get("graft.ann.bucketCap").map(_.toInt).getOrElse(10000)
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * murmur-based in [-1, 1).
     */
@@ -39,38 +51,63 @@ object Ann {
     (h.toDouble / Int.MaxValue).toFloat
   }
 
-  private val bucketUdf = udf((v: Seq[Float], planes: Int) => {
+  /** Sign bucket over hyperplanes [offset, offset+planes). */
+  private val bucketUdf = udf((v: Seq[Float], planes: Int, offset: Int) => {
     var b = 0
     var p = 0
     while (p < planes) {
       var s = 0.0
       var i = 0
-      while (i < v.length) { s += v(i) * planeComponent(p, i); i += 1 }
+      while (i < v.length) { s += v(i) * planeComponent(offset + p, i); i += 1 }
       b = (b << 1) | (if (s >= 0) 1 else 0)
       p += 1
     }
     b
   })
 
-  /** Sign-LSH bucketed ANN: exact rescoring within shared buckets. With
-    * `planes` hyperplanes, two vectors at angle θ share a bucket with
-    * prob (1-θ/π)^planes — recall tuned by fewer planes / multi-probe.
+  /** Self-join of `b` (id, vec, bucket, bucket2) within buckets, with the
+    * BucketCap skew guard: level-1 buckets above the cap join within
+    * their level-2 refinement instead; refined buckets still above the
+    * cap are dropped. Sub-cap buckets pair EXACTLY as an uncapped join
+    * (refinement key pinned to -1 on both sides), so small-scale output
+    * is unchanged. Pair volume is bounded by cap^2 per surviving bucket.
     */
+  private def cappedBucketPairs(b: DataFrame, cap: Int): DataFrame = {
+    val n1 = b.groupBy("bucket").agg(count(lit(1)).as("n1"))
+    val keyed = b.join(n1, Seq("bucket"))
+      .withColumn("bkey", when(col("n1") > cap, col("bucket2")).otherwise(lit(-1)))
+    val surviving = keyed.groupBy("bucket", "bkey")
+      .agg(count(lit(1)).as("n2"))
+      .filter(col("n2") <= cap)
+      .select("bucket", "bkey")
+    val capped = keyed.join(surviving, Seq("bucket", "bkey"))
+    val l = capped.select(col("bucket"), col("bkey"),
+      col("id").as("query_id"), col("vec").as("qv"))
+    val r = capped.select(col("bucket"), col("bkey"),
+      col("id").as("neighbor_id"), col("vec").as("cv"))
+    l.join(r, Seq("bucket", "bkey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+  }
+
   /** Axis-aligned sign-LSH top-k: bucket = sign pattern of the leading
     * `dims` coordinates (the degenerate random-hyperplane case where the
     * planes are coordinate axes). Same bucketed shape as [[lshTopK]] but
     * the bucket function is a pure column expression — SQL-expressible
     * for the correctness oracle AND whole-stage-codegen'd (no UDF).
+    * Hot buckets are refined/capped (see [[BucketCap]]).
     */
   def signLshTopK(vectors: DataFrame, k: Int, dims: Int = 8): DataFrame = {
-    val bucket = (0 until dims).map { j =>
-      when(element_at(col("vec"), j + 1) >= 0f, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val b = vectors.select(col("id"), col("vec")).withColumn("bucket", bucket)
-    val l = b.select(col("bucket"), col("id").as("query_id"), col("vec").as("qv"))
-    val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("vec").as("cv"))
-    val scored = l.join(r, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    def signBits(from: Int): org.apache.spark.sql.Column =
+      (0 until dims).map { j =>
+        // past-the-end coords (short vectors) contribute bit 0: the
+        // `when` condition is null there and falls to `otherwise`
+        when(element_at(col("vec"), from + j + 1) >= 0f, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    val b = vectors.select(col("id"), col("vec"))
+      .withColumn("bucket", signBits(0))
+      .withColumn("bucket2", signBits(dims))
+    val scored = cappedBucketPairs(b, BucketCap)
       .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv")))
     TopK.topKPerKey(scored, Seq("query_id"), "cos", "neighbor_id", k)
       .select("query_id", "neighbor_id", "cos", "rnk")
@@ -78,11 +115,9 @@ object Ann {
 
   def lshTopK(vectors: DataFrame, k: Int, planes: Int = 6): DataFrame = {
     val b = vectors.select(col("id"), col("vec"))
-      .withColumn("bucket", bucketUdf(col("vec"), lit(planes)))
-    val l = b.select(col("bucket"), col("id").as("query_id"), col("vec").as("qv"))
-    val r = b.select(col("bucket"), col("id").as("neighbor_id"), col("vec").as("cv"))
-    val scored = l.join(r, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("bucket", bucketUdf(col("vec"), lit(planes), lit(0)))
+      .withColumn("bucket2", bucketUdf(col("vec"), lit(planes), lit(planes)))
+    val scored = cappedBucketPairs(b, BucketCap)
       .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv")))
     TopK.topKPerKey(scored, Seq("query_id"), "cos", "neighbor_id", k)
       .select("query_id", "neighbor_id", "cos", "rnk")

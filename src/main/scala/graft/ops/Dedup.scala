@@ -160,13 +160,25 @@ object Dedup {
       .select("doc_id", "simhash")
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming. Blocked
-    * by 16-bit chunk equality (any pair within hamming<=3 shares at least
-    * one of 4 chunks by pigeonhole; for maxHamming<=3 recall is exact).
+    * by chunk equality over a partition of the 64 bits into maxHamming+1
+    * chunks: a pair differing in <= maxHamming bits cannot differ in ALL
+    * chunks (pigeonhole), so recall is exact for ANY maxHamming — the
+    * chunk count is derived from the parameter, never assumed. At the
+    * default h=3 this is the classic 4 x 16-bit scheme. Candidate volume
+    * grows as chunks narrow (h=16 -> 17 x ~3-bit keys), which is the
+    * honest cost of a loose radius; exact hamming verification follows.
     */
   def simhashPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming must be in [0, $SimHashBits)")
     val s = simhash(sh)
-    val chunked = s.withColumn("chunk", explode(sequence(lit(0), lit(3))))
-      .withColumn("ckey", expr("(simhash >> (chunk * 16)) & 65535"))
+    val nChunks = maxHamming + 1
+    val w = SimHashBits / nChunks // last chunk absorbs the remainder bits
+    val lastMask = -1L >>> ((nChunks - 1) * w) // unsigned: top chunk keyed whole
+    val chunked = s.withColumn("chunk", explode(sequence(lit(0), lit(nChunks - 1))))
+      .withColumn("ckey", expr(
+        s"if(chunk < ${nChunks - 1}, (simhash >> (chunk * $w)) & ${(1L << w) - 1}," +
+          s" shiftrightunsigned(simhash, ${(nChunks - 1) * w}) & $lastMask)"))
     val cands = chunked.select(col("chunk"), col("ckey"),
         col("doc_id").as("a"), col("simhash").as("ha"))
       .join(chunked.select(col("chunk"), col("ckey"),

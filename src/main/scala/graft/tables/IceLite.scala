@@ -44,7 +44,24 @@ final case class IceLite(root: String, numBuckets: Int = 0,
 
   def latestSnapshot: Option[Int] =
     if (!exists) None
-    else Some(Files.readString(latestPtr).trim.toInt)
+    else { checkBucketSpec(); Some(Files.readString(latestPtr).trim.toInt) }
+
+  /** Bucket spec is part of the table's on-disk identity: recorded in
+    * _meta/PROPS at creation and required to match on every later open.
+    * Without this, opening an existing table under a different bucket
+    * config makes bucketed mergeInto misclassify entries as untouched and
+    * silently duplicate matched keys.
+    */
+  private def propsFile: Path = meta.resolve("PROPS")
+  private def specString: String =
+    s"""{"numBuckets":$numBuckets,"bucketKeys":[${bucketKeys.map("\"" + _ + "\"").mkString(",")}]}"""
+  private def checkBucketSpec(): Unit =
+    if (Files.exists(propsFile)) {
+      val onDisk = Files.readString(propsFile).trim
+      if (onDisk != specString)
+        throw new IllegalStateException(
+          s"bucket spec mismatch for table $root: on-disk $onDisk, configured $specString")
+    }
 
   /** Manifest entries: (bucket or -1 for unbucketed, dir). */
   private def manifestEntries(id: Int): Seq[(Int, String)] = {
@@ -68,6 +85,11 @@ final case class IceLite(root: String, numBuckets: Int = 0,
 
   private def commit(entries: Seq[(Int, String)]): Int = {
     Files.createDirectories(meta)
+    // first commit records the bucket spec; later commits re-validate via
+    // latestSnapshot below (PROPS missing on a pre-existing table = legacy
+    // table, adopt the current spec — its -1 entries are handled by
+    // mergeInto's always-touched rule)
+    if (!Files.exists(propsFile)) Files.writeString(propsFile, specString)
     val next = latestSnapshot.getOrElse(0) + 1
     val dirs = entries.map { case (b, d) => if (b < 0) d else s"b$b:$d" }
     val json = dirs.map(d => "\"" + d + "\"").mkString(s"""{"id":$next,"dirs":[""", ",", "]}")
@@ -171,8 +193,11 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         val entries = manifestEntries(latestSnapshot.get)
         val srcB = source.withColumn("_b", bucketCol).cache()
         val touched = srcB.select("_b").distinct().collect().map(_.getInt(0)).toSet
+        // legacy unbucketed entries (b = -1, e.g. a table created before
+        // bucketing was configured) can hold ANY key: always rewrite them
+        // (their rows land in proper buckets in the new snapshot)
         val (touchedEntries, untouchedEntries) =
-          entries.partition { case (b, _) => touched.contains(b) }
+          entries.partition { case (b, _) => b < 0 || touched.contains(b) }
         val oldTouched: Option[DataFrame] =
           if (touchedEntries.isEmpty) None
           else Some(spark.read.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))

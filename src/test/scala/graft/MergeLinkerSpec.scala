@@ -194,6 +194,48 @@ class MergeLinkerSpec extends SparkTestBase {
     assert(!row.getAs[Boolean]("is_nil") && row.getAs[Long]("entity_id") == 17L)
   }
 
+  test("linker: salted (non-broadcast) candidate join yields identical links") {
+    import graft.core.{InputDoc, Span, SpanOps}
+    import graft.link.Linker
+    import graft.ner.TrieNer
+    val docs = spark.createDataset(Seq(
+      InputDoc("a", SpanOps.withOffsets(Seq(Span("text", "spark and customer then fast key", "", 0)))),
+      InputDoc("b", SpanOps.withOffsets(Seq(Span("text", "slow part meets spark", "", 0))))))
+    val text = Pipeline.docText(spark, docs)
+    val mentions = TrieNer.mentions(spark, docs)
+    val reg = graft.kb.Registry.seed(spark).toDF()
+    def links() = Linker.link(spark, mentions, text, reg)
+      .select("doc_id", "mention", "entity_id", "is_nil", "url").collect()
+      .map(_.toString).sorted.toSeq
+    val broadcastPath = links()
+    sys.props("graft.linker.broadcastMaxRows") = "0" // force salted path
+    try {
+      assert(links() == broadcastPath,
+        "salted token join must reproduce the broadcast join exactly")
+    } finally sys.props.remove("graft.linker.broadcastMaxRows")
+  }
+
+  test("linker: NIL features carry max_cross (reference LR parity)") {
+    import graft.core.{InputDoc, Span, SpanOps}
+    import graft.link.Linker
+    import graft.ner.TrieNer
+    // under rerank=true the ranking/NIL score consume the cross-encoder
+    // max; the candidate struct must expose it for the LR features
+    val docs = spark.createDataset(Seq(
+      InputDoc("x", SpanOps.withOffsets(Seq(Span("text", "spark and customer", "", 0))))))
+    val text = Pipeline.docText(spark, docs)
+    val mentions = TrieNer.mentions(spark, docs)
+    val reg = graft.kb.Registry.seed(spark).toDF()
+    val (_, cands) = Linker.linkWithCandidates(spark, mentions, text, reg, rerank = true)
+    val fields = cands.select(explode(col("candidates")).as("c"))
+      .select("c.*").columns.toSet
+    assert(fields.contains("cross_score"), "candidate struct carries cross_score")
+    val top = cands.select(col("top_candidate.cross_score")).collect()
+    assert(top.nonEmpty && top.forall(!_.isNullAt(0)))
+    // weights: 7 features (max_bi, max_cross, jacc, lev, mean, median, stdev)
+    assert(Linker.NilWeights.length == 7)
+  }
+
   test("linker: exact-title match links, zero-candidate is NIL, DATE skips") {
     import graft.core.{InputDoc, Span, SpanOps}
     val docs = spark.createDataset(Seq(

@@ -81,6 +81,36 @@ class NilClusterSpec extends SparkTestBase {
     } finally sys.props.remove("graft.nilcluster.blockCap")
   }
 
+  test("mega stage-1 cluster passes stage-2/breakup/medoid in bounded pairs") {
+    // Build ONE stage-1 component far above the cap out of many sub-cap
+    // blocks: groups share a head token ("x$g …", block size = group
+    // size) and consecutive groups are chained by a shared tail token
+    // ("… aaaa$i", block size 2). All blocking keys stay <= cap, yet the
+    // component grows to groups x members — exactly the unbounded-chain
+    // shape the stage-2 guard must sub-block instead of self-joining.
+    val groups = 10
+    val members = 4
+    val surfaces = (0 until groups).flatMap { g =>
+      (0 until members).map(i => f"x$g%d aaaa${g * members + i}%02d") :+
+        // chain link: shares tail token with the NEXT group's first member
+        f"x$g%d aaaa${(g + 1) * members}%02d"
+    }.distinct
+    sys.props("graft.nilcluster.blockCap") = "5"
+    try {
+      val df = surfaces.toDF("surface")
+      val out = NilCluster.clusterSurfacesDistributed(spark, df)
+        .select("surface", "cluster_key", "center").collect()
+      assert(out.map(_.getString(0)).toSet == surfaces.toSet,
+        "every surface survives the capped stages")
+      assert(out.forall(_.get(2) != null), "every cluster gets a center")
+      val again = NilCluster.clusterSurfacesDistributed(spark, df)
+        .select("surface", "cluster_key").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val first = out.map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(again == first, "capped path is deterministic")
+    } finally sys.props.remove("graft.nilcluster.blockCap")
+  }
+
   test("end-to-end cluster(): assignments, mode title, deterministic") {
     val mentions = Seq(
       ("d1", "m", 1, "Fast Key", "PRODUCT"),

@@ -1,14 +1,32 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 import graft.core.InputDoc
 
 /** Benchmark main (driver contract): prints ONE JSON line with the
   * headline query timings plus the north-rule scaling evidence — the
-  * end-to-end KB-population job at two parallelism levels (local[8] as N,
-  * local[32] as 4N; the sandbox stand-in for N vs 4N executors per
-  * BASELINE.md) with docs/sec and scaling efficiency.
+  * end-to-end KB-population job at N vs 4N executor JVMs with docs/sec
+  * at both levels and the scaling efficiency between them.
+  *
+  * Round-3 contract fixes (VERDICT r2 items 1, 2, 8):
+  *   - the DEFAULT invocation is sized to finish well inside a ~10-minute
+  *     driver timeout: one rep per level, a replicate that keeps the
+  *     N-level run ~2-3 minutes, and NO hidden extra ladder runs;
+  *   - every completed phase is flushed to BENCH_LOCAL.json immediately
+  *     (headline queries, then each ladder level as it lands), so a
+  *     killed run still leaves machine-readable partial evidence;
+  *   - ONLY_LEVEL mode emits the query table it measures instead of
+  *     discarding it.
+  *   - the ladder is sized to FIT THE HOST: per-executor heap times the
+  *     TOP level's executor count must leave headroom (round 2 ran
+  *     8 x 10 GiB executors on a hypervisor-overcommitted 128 GiB box and
+  *     measured eff 0.046 from swap thrash, not from the plan). Default
+  *     is 2 -> 8 executors x 2 cores x 4 GiB: top level = 32 GiB of
+  *     executor heap + 8 GiB driver, and 16 concurrent cores — half the
+  *     box — so per-core memory bandwidth stays roughly constant across
+  *     levels (on a real cluster every added executor brings its own
+  *     memory bus; a single box does not, and letting the top level
+  *     saturate the bus measures the BOX, not the plan).
   */
 object Bench {
 
@@ -102,34 +120,87 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Scaling evidence needs a compute-dominated job: the ~15 s serial
-    // driver fraction (planning, AQE, eager checkpoint job barriers —
-    // measured level-INDEPENDENT at replicate=1) Amdahl-caps small jobs
-    // regardless of plan quality. After the GC/tmpfs/cogroup fixes the
-    // pipeline runs ~0.85 core-ms/doc, so 640k docs (~540 core-s of
-    // parallel work) are needed before the parallel fraction dominates
-    // at every level of the scaling ladder.
-    // Heap-adaptive default: 640k docs needs ~24g+ of JVM heap (caches +
-    // checkpoint blocks); on a smaller heap (e.g. a driver running this
-    // without SPARK_DRIVER_MEM) fall back to the 80k-doc input rather
-    // than GC-thrash.
+    // Scaling evidence needs a compute-dominated job: the serial driver
+    // fraction (planning, AQE, eager checkpoint job barriers — measured
+    // level-INDEPENDENT) Amdahl-caps small inputs regardless of plan
+    // quality, so the input is replicated until the parallel fraction
+    // dominates at every ladder level. The default is chosen so the
+    // N-level (slowest) run stays in the 2-3 minute band — large enough
+    // for eff >= 0.8 headroom, small enough that the whole default bench
+    // finishes inside the driver timeout (r2's 640k-doc x 2-rep default
+    // timed out and left NO machine-readable evidence).
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "jvms")
     val heapG = Runtime.getRuntime.maxMemory / (1L << 30)
-    val replicate = sys.env.get("SPARK_GRAFT_REPLICATE")
-      .map(_.toInt).getOrElse(if (heapG >= 24) 128 else 16)
+    val replicate = sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toInt).getOrElse {
+      // threads mode runs executor + driver in ONE JVM: gate on its heap
+      if (mode == "threads" && heapG < 24) 16 else 96
+    }
 
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
 
-    // ---- headline queries at the requested parallelism ----------------
-    val s1 = session(cpus)
-    // warm-up: parquet footer reads + codegen
-    SparkEntry.queries("q1_agg")(s1, sfDir).count()
-    val results = (if (skipQueries) Seq.empty[String] else headline).map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(s1, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // ---- progressive result document --------------------------------
+    // Rebuilt and flushed to BENCH_LOCAL.json after every completed
+    // phase: a run killed by a driver timeout still leaves evidence.
+    var queriesJson: Option[String] = None
+    var queriesTotal = 0.0
+    val levelResults = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
+    val execCores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
+    val execMemG = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_G", "4").toInt
+    val lvlName: Int => String =
+      if (mode == "threads") l => s"local$l" else l => s"executors$l"
+
+    def buildJson(done: Boolean): String = {
+      val qs = queriesJson.getOrElse("{}")
+      val levels = levelResults.keys.toSeq
+      def tput(l: Int) = { val (sec, docs, _) = levelResults(l); docs / sec }
+      val perLevel = levels.map { l =>
+        s""""${lvlName(l)}":{"sec":${levelResults(l)._1},"docs_per_sec":${tput(l)}}"""
+      }.mkString("{", ",", "}")
+      val pairs = levels.zip(levels.tail).filter { case (a, b) => b == 4 * a }
+      def eff(a: Int, b: Int) = tput(b) / ((b.toDouble / a) * tput(a))
+      val pairJson = pairs.map { case (a, b) => s""""eff_${a}_$b":${eff(a, b)}""" }
+        .mkString("{", ",", "}")
+      val primary = pairs.headOption
+      val effJson = primary.map { case (a, b) =>
+        s""","scaling_efficiency":${eff(a, b)}""" }.getOrElse("")
+      val pairDesc = primary.map { case (a, b) =>
+        if (mode == "threads") s"local[$a] -> local[$b] threads"
+        else s"$a -> $b standalone executor JVMs x $execCores cores, " +
+          s"${execMemG}g each (N vs 4N executors per the north rule; " +
+          "separate heaps per executor as on a real cluster)"
+      }.getOrElse("")
+      val triplesAll = levels.map(levelResults(_)._3).distinct
+      val pipeline =
+        if (levels.isEmpty) "{}"
+        else s"""{"docs":${levelResults(levels.head)._2},"triples":${triplesAll.head},""" +
+          s""""triples_check_equal":${triplesAll.size == 1},"mode":"$mode",""" +
+          s""""replicate":$replicate,"levels":$perLevel,"scaling_pairs":$pairJson,""" +
+          s""""primary_pair":"$pairDesc"$effJson}"""
+      s"""{"metric":"total","value":$queriesTotal,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","complete":$done,"kb_pipeline":$pipeline}"""
     }
-    s1.stop()
+    def flush(): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), buildJson(false) + "\n")
+      catch { case _: Throwable => () }
+
+    // ---- headline queries at the requested parallelism ----------------
+    if (!skipQueries) {
+      val s1 = session(cpus)
+      // warm-up: parquet footer reads + codegen
+      SparkEntry.queries("q1_agg")(s1, sfDir).count()
+      val results = headline.map { name =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(s1, sfDir).count()
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      s1.stop()
+      queriesJson = Some(results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}"))
+      queriesTotal = results.map(_._2).sum
+      flush()
+    }
 
     // ---- scaling evidence: same KB job at N vs 4N -----------------------
     // Two modes. "jvms" (default): N vs 4N standalone EXECUTOR JVMs on
@@ -138,9 +209,7 @@ object Bench {
     // scale-out effects differ between levels. "threads": the older
     // local[k] thread ladder (kept for comparison; conflates scale-out
     // with single-JVM GC + memory-bus artifacts).
-    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "jvms")
-    val execCores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "4").toInt
-    val execMemG = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_G", "10").toInt
+    //
     // Executors are the unit being scaled; keep their storage pool out of
     // the picture entirely (checkpoint + input blocks on tmpfs disk) so
     // a small-executor-count level is not starved by eviction storms.
@@ -171,13 +240,18 @@ object Bench {
     }
     def timed(c: Int): (Double, Long, Long) =
       if (mode == "threads") timedThreads(c) else timedJvms(c)
+
     // single-level mode: honest per-JVM isolation (JIT/GC state from one
-    // level otherwise bleeds into the other)
+    // level otherwise bleeds into the other). Emits the query table it
+    // measured alongside the level result (r2 discarded it).
     val onlyLevel = sys.env.get("SPARK_GRAFT_ONLY_LEVEL")
     if (onlyLevel.isDefined) {
       val lvl = onlyLevel.get.toInt
-      val (sec, docs, triples) = timed(lvl)
-      emit(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,"docs_per_sec":${docs / sec}}""")
+      levelResults(lvl) = timed(lvl)
+      val (sec, docs, triples) = levelResults(lvl)
+      emit(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,""" +
+        s""""docs_per_sec":${docs / sec},"queries":${queriesJson.getOrElse("{}")},""" +
+        s""""queries_total_sec":$queriesTotal}""")
       return
     }
 
@@ -185,55 +259,23 @@ object Bench {
     // sandbox host has uncontrolled co-tenant load (observed loadavg 4-8
     // with this process idle), and min-of-N interleaved is robust to
     // additive noise while preserving the level-to-level comparison.
-    //
-    // TWO N-vs-4N pairs are measured. local[2]->local[8] is the primary
-    // gate evidence: at <=8 threads the box's memory bus is not
-    // saturated, so thread scaling is a faithful proxy for adding
-    // executor MACHINES (each with its own memory bandwidth).
-    // local[8]->local[32] is reported alongside: it conflates scale-out
-    // with intra-box bandwidth contention (measured ~2x core-second
-    // inflation at 32 threads on shuffle-heavy stages) and understates
-    // what a real 4x-executor cluster gets.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
-    // jvms mode: 2 vs 8 executor JVMs (x execCores each) = N vs 4N
-    // executors; threads mode: local[2]/local[8]/local[32].
+    // DEFAULT is one rep (fits the driver timeout); quiet-window manual
+    // runs can raise SPARK_GRAFT_SCALE_REPS.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS",
         if (mode == "threads") "2,8,32" else "2,8")
       .split(",").map(_.trim.toInt).toSeq
-    val runs = (1 to reps).flatMap(_ => levels.map(l => l -> timed(l)))
-    def best(lvl: Int) = runs.filter(_._1 == lvl).map(_._2).minBy(_._1)
-    val by = levels.map(l => l -> best(l)).toMap
-    def tput(lvl: Int) = by(lvl)._2 / by(lvl)._1
-    def eff(lo: Int, hi: Int) = tput(hi) / ((hi.toDouble / lo) * tput(lo))
-    val pairs = levels.zip(levels.tail).filter { case (a, b) => b == 4 * a }
-    val primary = pairs.headOption.getOrElse((levels.head, levels.last))
-    val triplesAll = levels.map(by(_)._3).distinct
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val lvlName: Int => String =
-      if (mode == "threads") l => s"local$l" else l => s"executors$l"
-    val perLevel = levels.map { l =>
-      s""""${lvlName(l)}":{"sec":${by(l)._1},"docs_per_sec":${tput(l)}}"""
-    }.mkString("{", ",", "}")
-    val pairJson = pairs.map { case (a, b) =>
-      s""""eff_${a}_$b":${eff(a, b)}"""
-    }.mkString("{", ",", "}")
-    val pairDesc =
-      if (mode == "threads")
-        s"local[${primary._1}] -> local[${primary._2}] threads (see BENCH.md)"
-      else
-        s"${primary._1} -> ${primary._2} standalone executor JVMs x " +
-          s"$execCores cores, ${execMemG}g each (N vs 4N executors per " +
-          "the north rule; separate heaps per executor as on a real cluster)"
-    val pipeline =
-      s"""{"docs":${by(levels.head)._2},"triples":${triplesAll.head},""" +
-      s""""triples_check_equal":${triplesAll.size == 1},"mode":"$mode",""" +
-      s""""levels":$perLevel,"scaling_pairs":$pairJson,""" +
-      s""""primary_pair":"$pairDesc",""" +
-      s""""scaling_efficiency":${eff(primary._1, primary._2)}}"""
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kb_pipeline":$pipeline}""")
+    (1 to reps).foreach { _ =>
+      levels.foreach { l =>
+        val r = timed(l)
+        levelResults(l) = levelResults.get(l) match {
+          case Some(prev) if prev._1 <= r._1 => prev
+          case _ => r
+        }
+        flush()
+      }
+    }
+    emit(buildJson(true))
   }
 
   /** Driver contract: the result JSON must be machine-parseable from the

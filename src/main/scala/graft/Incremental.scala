@@ -153,37 +153,74 @@ object Incremental {
   /** I3 reannotate flow (reference pipelinehelper/main.py:19-34): fetch
     * stored documents, re-run the pipeline against the CURRENT registry
     * (entities discovered since the original annotation are now linkable
-    * — previously-NIL mentions may resolve to ent: links), and MERGE the
-    * fresh annotations back. Stale rows for the re-annotated docs are
-    * dropped first so a re-run that emits FEWER mentions/triples does not
-    * leave orphans behind.
+    * — previously-NIL mentions may resolve to ent: links), and REPLACE
+    * the docs' annotations. Stale rows are dropped in the SAME snapshot
+    * commit that inserts the fresh ones (IceLite.replaceKeys), so a
+    * re-run that emits fewer mentions/triples leaves no orphans AND a
+    * crash never leaves a window where the docs' annotations are gone.
+    *
+    * Crash protocol: a "reannotate_start" lineage row is committed
+    * BEFORE any table mutation and a matching "reannotate" row after the
+    * last; [[pendingReannotations]] surfaces started-but-unfinished doc
+    * sets so a caller can replay them (replay is idempotent: each
+    * replaceKeys is keyed and the registry merge is keyed).
     */
   def reannotate(spark: SparkSession, workDir: String,
                  docIds: Seq[String]): Tables = {
     import spark.implicits._
     val t = Tables(workDir)
+    val idList = docIds.sorted.mkString(",")
     val docs = t.documents.read(spark).get
       .filter(col("doc_id").isin(docIds: _*)).as[InputDoc]
 
     val registry = t.registry.read(spark).get.cache()
     val res = Pipeline.run(spark, docs, registry)
 
-    val isTarget = col("doc_id").isin(docIds: _*)
-    t.mentions.deleteWhere(spark, isTarget)
-    t.candidates.deleteWhere(spark, isTarget)
-    t.triples.deleteWhere(spark, isTarget)
-
-    t.mentions.mergeInto(spark,
+    // attempt marker = current lineage snapshot count: unique per attempt
+    // (every append bumps it), deterministic (no wall-clock/random), and
+    // it lets a done row match ITS start row — a replayed attempt leaves
+    // the crashed attempt's start dangling without flagging the replay.
+    val marker = s"${t.lineage.snapshots.size}:$idList"
+    t.lineage.append(Seq((-1, "reannotate_start", marker))
+      .toDF("batch_id", "stage", "status"))
+    val delKeys = docIds.toDF("doc_id")
+    t.mentions.replaceKeys(spark, delKeys,
       res.linked.select("doc_id", "annset", "ann_id", "mention_type",
         "start", "end", "mention", "skip", "entity_id", "title",
-        "entity_type", "bi_score", "nil_score", "is_nil", "url", "name"),
-      Seq("doc_id", "annset", "ann_id"))
-    t.candidates.mergeInto(spark, res.candidates, Seq("doc_id", "annset", "ann_id"))
-    t.triples.mergeInto(spark, res.triples, Seq("doc_id", "subj", "pred", "obj"))
+        "entity_type", "bi_score", "nil_score", "is_nil", "url", "name"))
+    t.candidates.replaceKeys(spark, delKeys, res.candidates)
+    t.triples.replaceKeys(spark, delKeys, res.triples)
     t.registry.mergeInto(spark, res.newEntities, Seq("id", "indexer"))
-    t.lineage.append(Seq((-1, "reannotate", docIds.sorted.mkString(",")))
+    t.lineage.append(Seq((-1, "reannotate", marker))
       .toDF("batch_id", "stage", "status"))
     registry.unpersist()
     t
+  }
+
+  /** Doc-id sets of reannotate attempts that started but never recorded
+    * completion (crash recovery: replay each with [[reannotate]] —
+    * idempotent, and the replay gets its own attempt marker so the
+    * crashed attempt's dangling start row never re-flags it).
+    */
+  def pendingReannotations(spark: SparkSession, workDir: String): Seq[Seq[String]] = {
+    val t = Tables(workDir)
+    t.lineage.read(spark) match {
+      case None => Seq.empty
+      case Some(df) =>
+        // an id-set is pending iff its LATEST attempt (highest marker) has
+        // no done row — a completed replay supersedes the crashed
+        // attempt's dangling start
+        val rows = df.filter(col("stage").startsWith("reannotate"))
+          .select("stage", "status").collect()
+          .map { r =>
+            val Array(n, ids) = r.getString(1).split(":", 2)
+            (ids, n.toInt, r.getString(0) == "reannotate_start")
+          }
+        rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (ids, attempts) =>
+          val latest = attempts.map(_._2).max
+          val latestDone = attempts.exists(a => a._2 == latest && !a._3)
+          if (latestDone) None else Some(ids.split(",").toSeq)
+        }
+    }
   }
 }

@@ -238,6 +238,19 @@ object Pipeline {
       Seq(TrieNer.mentions(spark, docs), RegexNer.mentions(spark, docs)))
   }
 
+  /** Reference-shaped NIL-cluster records incl. the member `mentions`
+    * array of {id, mention} (nilcluster/Packages/TimeEvolving.py:119-124)
+    * — the egress form of Result.clusters; assignments recovered from the
+    * linked frame's nil_id column.
+    */
+  def clusterRecords(res: Result): DataFrame = {
+    val assigns = res.linked.filter(col("nil_id").isNotNull)
+      .select("doc_id", "annset", "ann_id", "nil_id")
+    graft.kb.GateJson.clusterRecords(res.clusters, assigns,
+      res.linked.select("doc_id", "annset", "ann_id", "mention"),
+      key = "nil_id")
+  }
+
   def linked(spark: SparkSession, dir: String): DataFrame =
     runCached(spark, dir).linked
 

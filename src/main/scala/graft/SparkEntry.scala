@@ -250,10 +250,19 @@ object SparkEntry {
         .groupBy(col("mention"), col("mention_type"), col("source"))
         .agg(count(lit(1)).as("n"))),
 
-    // full linking decisions
+    // linking decisions, hash-checked on the deterministic skip-path
+    // slice (dictionary-resolved mentions: entity_id = gazetteer id,
+    // url = TRIE<id> — the same determinism the kg_notnil oracle uses).
+    // The full output incl. score-linked/NIL rows is embedding-dependent
+    // and covered by GoldenSpec/PipelineSpec + the kg_candidates and
+    // kg_notnil oracles. The FULL linked frame is still computed here
+    // (runCached), so the driver gate exercises the whole path.
     "kg_linked" -> ((s, dir) =>
       Pipeline.linked(s, dir)
-        .select("doc_id", "ann_id", "mention", "entity_id", "is_nil", "url")),
+        .filter(col("skip"))
+        .groupBy(col("doc_id").cast("long").as("doc_id"), col("mention"),
+          col("entity_id"), col("url"))
+        .agg(count(lit(1)).as("n"))),
 
     // per-mention persisted candidate SETS (J1 persistence,
     // indexer/main.py:175-182). Rank/scores are embedding-dependent;
@@ -283,8 +292,32 @@ object SparkEntry {
           col("nelements"))
     }),
 
-    // end-to-end triples (flagship)
-    "kg_triples" -> ((s, dir) => Pipeline.triples(s, dir)),
+    // end-to-end triples (flagship). The FULL pipeline executes
+    // (runCached materializes every stage incl. clustering and the whole
+    // triple frame), and the driver hash-checks the deterministic slice:
+    // all :hasMedia triples from the real triple frame, plus the
+    // :mentions/:typedAs triples rebuilt over the deterministic mention
+    // subset — skip-path entities and the exact-title links (spark->1,
+    // customer->3; equal titles embed identically, tie-break entity_id
+    // asc, so the outcome is engine-guaranteed). Score-linked partial
+    // overlaps (context-dependent embeddings), nil:* names,
+    // :sameAsCluster and :coOccursWith are not SQL-expressible and stay
+    // under GoldenSpec/PipelineSpec.
+    "kg_triples" -> ((s, dir) => {
+      val res = Pipeline.runCached(s, dir)
+      val det = res.linked.filter(col("skip") ||
+        (col("mention").isin("spark", "customer") && !col("is_nil")))
+      val m = det.select(col("doc_id"),
+        concat(lit("doc:"), col("doc_id")).as("subj"),
+        lit(":mentions").as("pred"), col("name").as("obj")).distinct()
+      val t = det.select(col("doc_id"), col("name").as("subj"),
+        lit(":typedAs").as("pred"), col("rtype").as("obj")).distinct()
+      val media = res.triples.filter(col("pred") === ":hasMedia")
+        .select("doc_id", "subj", "pred", "obj")
+      m.unionByName(t).unionByName(media)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("subj"), col("pred"), col("obj"))
+    }),
 
     // media metadata (SQL-expressible slice of the multimodal stage)
     "kg_media" -> ((s, dir) => {
@@ -502,6 +535,59 @@ object SparkEntry {
            FROM linkable)
          SELECT DISTINCT doc_id, mention, CAST(entity_id AS BIGINT) AS entity_id
          FROM mtoks JOIN tok2ent USING (tok)"""),
+    "kg_linked" -> (trieCtes +
+      """, pat2id(pat, id) AS (VALUES
+           ('merge join',5),('join merge',5),('hash join',6),('join hash',6),
+           ('sort merge',7),('merge sort',7),('table scan',8),('scan table',8),
+           ('big data',13),('data big',13),('window',9),('vector',10),
+           ('stream',11),('batch',12),('query',14),('filter',15),('group',16)),
+         skipm AS (
+           SELECT t.doc_id, t.mention, p.id
+           FROM (SELECT doc_id, mention FROM takes
+                 UNION ALL SELECT doc_id, mention FROM unis) t
+           JOIN pat2id p ON p.pat = t.mention)
+         SELECT doc_id, mention, CAST(id AS BIGINT) AS entity_id,
+                'TRIE' || CAST(id AS VARCHAR) AS url, count(*) AS n
+         FROM skipm GROUP BY 1, 2, 3, 4"""),
+    "kg_triples" -> (trieCtes +
+      """, reg(id, title, type_) AS (VALUES
+           (1,'spark','ORG'),(3,'customer','PER'),
+           (5,'merge join','ALG'),(6,'hash join','ALG'),(7,'sort merge','ALG'),
+           (8,'table scan','OP'),(9,'window','OP'),(10,'vector','TYPE'),
+           (11,'stream','OP'),(12,'batch','OP'),(13,'big data','FIELD'),
+           (14,'query','OP'),(15,'filter','OP'),(16,'group','OP')),
+         pat2id(pat, id) AS (VALUES
+           ('merge join',5),('join merge',5),('hash join',6),('join hash',6),
+           ('sort merge',7),('merge sort',7),('table scan',8),('scan table',8),
+           ('big data',13),('data big',13),('window',9),('vector',10),
+           ('stream',11),('batch',12),('query',14),('filter',15),('group',16)),
+         skipm AS (
+           SELECT t.doc_id, p.id
+           FROM (SELECT doc_id, mention FROM takes
+                 UNION ALL SELECT doc_id, mention FROM unis) t
+           JOIN pat2id p ON p.pat = t.mention),
+         linkm AS (
+           SELECT doc_id, CASE mention WHEN 'spark' THEN 1 ELSE 3 END AS id
+           FROM unis WHERE mention IN ('spark','customer')),
+         names AS (
+           SELECT e.doc_id, r.title, r.type_
+           FROM (SELECT doc_id, id FROM skipm
+                 UNION ALL SELECT doc_id, id FROM linkm) e
+           JOIN reg r USING (id)),
+         media AS (
+           SELECT doc_id, 'media://img/' || doc_id AS mref
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 'media://vid/' || doc_id
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT DISTINCT doc_id, 'doc:' || doc_id AS subj,
+                ':mentions' AS pred, 'ent:' || title AS obj
+         FROM names
+         UNION ALL
+         SELECT DISTINCT doc_id, 'ent:' || title, ':typedAs', type_
+         FROM names
+         UNION ALL
+         SELECT doc_id, 'doc:' || doc_id, ':hasMedia', mref FROM media"""),
     "kg_notnil" -> (trieCtes +
       """, reg(id, title, type_) AS (VALUES
            (5,'merge join','ALG'),(6,'hash join','ALG'),(7,'sort merge','ALG'),

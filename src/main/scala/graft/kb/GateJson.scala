@@ -60,4 +60,40 @@ object GateJson {
         map_from_arrays(
           transform(col("annsets"), a => a.getField("name")),
           col("annsets")).as("annotation_sets"))).as("json"))
+
+  /** NIL-cluster records in the reference's egress shape
+    * (nilcluster/Packages/TimeEvolving.py:119-124): each cluster row
+    * gains a `mentions` array of {id, mention} structs listing its
+    * member mentions (id = annotation id), ordered by (doc_id, ann_id)
+    * for a deterministic payload. `clusters` is Pipeline.Result.clusters
+    * (cluster_key, title, cluster_type, nelements, ..., nil_id);
+    * `assignments` must carry (doc_id, annset, ann_id, cluster_key);
+    * `mentions` supplies the surface text per (doc_id, annset, ann_id).
+    * One shuffle on cluster_key; the per-cluster list is bounded by the
+    * oversize-cluster breakup (A8), so no group outgrows an executor.
+    */
+  def clusterRecords(clusters: DataFrame, assignments: DataFrame,
+                     mentions: DataFrame, key: String = "cluster_key"): DataFrame = {
+    val members = assignments
+      .join(mentions.select(col("doc_id"), col("annset"), col("ann_id"),
+        col("mention")), Seq("doc_id", "annset", "ann_id"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"), col("ann_id"), col("mention")))).as("ordered"))
+      .withColumn("mentions", transform(col("ordered"), m =>
+        struct(m.getField("ann_id").as("id"), m.getField("mention").as("mention"))))
+      .drop("ordered")
+    clusters.join(members, Seq(key), "left")
+      .withColumn("mentions",
+        coalesce(col("mentions"), array().cast(
+          "array<struct<id:int,mention:string>>")))
+  }
+
+  /** Cluster records as JSON lines (title/type/nelements/mentions —
+    * the fields the reference's cluster consumer reads).
+    */
+  def clusterEgress(records: DataFrame): DataFrame =
+    records.select(col("cluster_key"),
+      to_json(struct(col("title"), col("cluster_type").as("type"),
+        col("nelements"), col("mentions"))).as("json"))
 }

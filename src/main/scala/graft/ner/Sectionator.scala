@@ -60,6 +60,9 @@ object Sectionator {
       |5,Tribunale di Bologna
       |""".stripMargin
 
+  // Cache keyed by nothing — sound ONLY because `courtCsv` is a
+  // compile-time constant (every session reads identical content). If
+  // the court table ever becomes configurable, key this by its source.
   @volatile private var courtCache: Option[Seq[String]] = None
 
   /** Court names via a real spark.read.csv round-trip (S10). */

@@ -218,6 +218,55 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         overwrite(kept.unionByName(source.select(target.columns.map(col): _*)))
     }
 
+  /** Atomic slice replacement in ONE commit: target rows whose key tuple
+    * (the columns of `delKeys`) matches a delKeys row OR appears among
+    * `source`'s key tuples are dropped, and `source` rows are inserted,
+    * as a single snapshot swap. This is the reannotate-shaped operation —
+    * "replace every row belonging to these docs" — and doing it in one
+    * commit closes the crash window a deleteWhere-then-mergeInto sequence
+    * has (a kill between the two commits loses the docs' rows with no
+    * marker to drive a replay). Including source's own key tuples in the
+    * delete set makes a REPLAY of the same call idempotent even when
+    * source carries keys missing from delKeys.
+    *
+    * Bucketed tables require delKeys' columns to cover the bucket keys
+    * and rewrite ONLY the buckets touched by delKeys or source rows —
+    * O(batch), not O(table), same as mergeInto.
+    */
+  def replaceKeys(spark: SparkSession, delKeys: DataFrame, source: DataFrame): Int = {
+    val keyCols = delKeys.columns.toSeq
+    read(spark) match {
+      case None => if (source.isEmpty) 0 else overwrite(source)
+      case Some(_) if bucketed =>
+        require(bucketKeys.forall(keyCols.contains),
+          s"bucket keys $bucketKeys must be a subset of delKeys columns $keyCols")
+        val entries = manifestEntries(latestSnapshot.get)
+        val keysB = delKeys.unionByName(source.select(keyCols.map(col): _*))
+          .distinct().withColumn("_b", bucketCol).cache()
+        val touched = keysB.select("_b").distinct().collect()
+          .map(_.getInt(0)).toSet
+        val (touchedEntries, untouchedEntries) =
+          entries.partition { case (b, _) => b < 0 || touched.contains(b) }
+        val oldTouched: Option[DataFrame] =
+          if (touchedEntries.isEmpty) None
+          else Some(spark.read.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
+        val merged = oldTouched match {
+          case None => source
+          case Some(old) =>
+            old.join(keysB.drop("_b"), keyCols, "left_anti")
+              .unionByName(source.select(old.columns.map(col): _*))
+        }
+        val dir = newDataDir()
+        val written = writeBuckets(merged, dir)
+        keysB.unpersist()
+        commit(untouchedEntries ++ written)
+      case Some(target) =>
+        val allKeys = delKeys.unionByName(source.select(keyCols.map(col): _*)).distinct()
+        val kept = target.join(allKeys, keyCols, "left_anti")
+        overwrite(kept.unionByName(source.select(target.columns.map(col): _*)))
+    }
+  }
+
   /** All snapshot ids, ascending. */
   def snapshots: Seq[Int] =
     if (!Files.exists(meta)) Seq.empty

@@ -103,4 +103,30 @@ class DocumentStoreSpec extends SparkTestBase {
     assert(ann.getAs[Int]("start") == 0 && ann.getAs[Int]("end") == 5)
     assert(ann.getAs[Map[String, String]]("features")("unknown_extra") == "survives")
   }
+
+  test("cluster records carry member mentions [{id, mention}] (TimeEvolving.py:119-124)") {
+    val clusters = Seq(("k1", "acme", "ORG", 2L), ("k2", "solo", "PER", 1L))
+      .toDF("cluster_key", "title", "cluster_type", "nelements")
+    val assignments = Seq(("d2", "ner", 3, "k1"), ("d1", "ner", 1, "k1"),
+        ("d3", "ner", 7, "k2"))
+      .toDF("doc_id", "annset", "ann_id", "cluster_key")
+    val mentions = Seq(("d1", "ner", 1, "Acme"), ("d2", "ner", 3, "acme inc"),
+        ("d3", "ner", 7, "Solo"), ("d9", "ner", 9, "unrelated"))
+      .toDF("doc_id", "annset", "ann_id", "mention")
+
+    val recs = GateJson.clusterRecords(clusters, assignments, mentions)
+      .orderBy("cluster_key").collect()
+    def ms(r: Row): Seq[(Int, String)] =
+      r.getSeq[Row](r.fieldIndex("mentions"))
+        .map(m => (m.getAs[Int]("id"), m.getAs[String]("mention")))
+    // ordered by (doc_id, ann_id); ids are the annotation ids
+    assert(ms(recs(0)) == Seq((1, "Acme"), (3, "acme inc")))
+    assert(ms(recs(1)) == Seq((7, "Solo")))
+
+    val json = GateJson.clusterEgress(
+        GateJson.clusterRecords(clusters, assignments, mentions))
+      .orderBy("cluster_key").collect()(0).getAs[String]("json")
+    assert(json.contains(""""mentions":[{"id":1,"mention":"Acme"}"""), json)
+    assert(json.contains(""""type":"ORG""""), json)
+  }
 }

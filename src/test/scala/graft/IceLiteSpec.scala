@@ -81,4 +81,42 @@ class IceLiteSpec extends SparkTestBase {
     t.deleteWhere(spark, col("id") === 2)
     assert(t.read(spark).get.orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
   }
+
+  test("replaceKeys = delete keyed rows + insert source in ONE commit") {
+    val t = IceLite(tmp())
+    t.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val before = t.snapshots.size
+    // doc 2 re-emits ONE row (with new content) and doc 4 is new; doc 2's
+    // other hypothetical rows would be dropped (delete-then-insert, not
+    // upsert-by-full-key)
+    t.replaceKeys(spark, Seq(2).toDF("id"), Seq((2, "B"), (4, "d")).toDF("id", "v"))
+    def state = t.read(spark).get.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(state == Seq((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+    assert(t.snapshots.size == before + 1, "single atomic commit")
+    // replay idempotent
+    t.replaceKeys(spark, Seq(2).toDF("id"), Seq((2, "B"), (4, "d")).toDF("id", "v"))
+    assert(state == Seq((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+    // shrink: re-emitting FEWER rows for a key leaves no orphans
+    t.replaceKeys(spark, Seq(4).toDF("id"),
+      Seq.empty[(Int, String)].toDF("id", "v"))
+    assert(state == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("bucketed replaceKeys rewrites only the touched buckets") {
+    val root = tmp()
+    val t = IceLite(root, numBuckets = 4, bucketKeys = Seq("id"))
+    t.overwrite((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"))
+    def manifestDirs(id: Int): Set[String] = {
+      val txt = Files.readString(java.nio.file.Paths.get(root, "_meta", s"v$id.json"))
+      "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).filter(_.contains("data/")).toSet
+    }
+    val dirs1 = manifestDirs(1)
+    t.replaceKeys(spark, Seq(7).toDF("id"), Seq((7, "X")).toDF("id", "v"))
+    val dirs2 = manifestDirs(2)
+    assert(dirs1.intersect(dirs2).size == 3,
+      s"3 of 4 bucket leaves must be reused; reused = ${dirs1.intersect(dirs2)}")
+    assert(t.read(spark).get.count() == 100)
+    assert(t.read(spark).get.filter(col("id") === 7).collect()(0).getString(1) == "X")
+  }
 }

@@ -101,4 +101,47 @@ class IncrementalSpec extends SparkTestBase {
     val after = t.triples.read(spark).get.collect().map(_.toString).sorted.toSeq
     assert(before == after)
   }
+
+  test("reannotate is crash-safe: one commit per table, no delete window") {
+    val docs = spark.createDataset(corpus)
+    val dir = Files.createTempDirectory("incR").toString
+    val t = Incremental.run(spark, docs, dir, numBatches = 2)
+
+    val snapsBefore = t.mentions.snapshots.size
+    Incremental.reannotate(spark, dir, Seq("d1"))
+    // exactly ONE new mentions snapshot (delete + insert fused): the old
+    // deleteWhere-then-merge sequence had an intermediate snapshot with
+    // d1's annotations missing — a crash there lost them permanently
+    assert(t.mentions.snapshots.size == snapsBefore + 1)
+    // from the snapshot where d1 first appears onward, NO snapshot ever
+    // loses its annotations (the deleteWhere-based flow had such a
+    // snapshot between the delete commit and the merge commit)
+    val hasD1 = t.mentions.snapshots.map { s =>
+      s -> (t.mentions.readSnapshot(spark, s)
+        .filter(col("doc_id") === "d1").count() > 0)
+    }
+    val sinceFirst = hasD1.dropWhile(!_._2)
+    assert(sinceFirst.nonEmpty)
+    sinceFirst.foreach { case (s, present) =>
+      assert(present, s"snapshot $s lost d1's annotations")
+    }
+    assert(Incremental.pendingReannotations(spark, dir).isEmpty)
+  }
+
+  test("pendingReannotations surfaces a crashed attempt, replay clears it") {
+    val docs = spark.createDataset(corpus)
+    val dir = Files.createTempDirectory("incP").toString
+    val t = Incremental.run(spark, docs, dir, numBatches = 2)
+
+    // simulate a crash: start row committed, nothing else (marker 0 =
+    // an attempt earlier than any replay's)
+    t.lineage.append(Seq((-1, "reannotate_start", "0:d2"))
+      .toDF("batch_id", "stage", "status"))
+    assert(Incremental.pendingReannotations(spark, dir) == Seq(Seq("d2")))
+
+    // replay (new attempt marker) completes; the dangling start row from
+    // the crashed attempt no longer flags anything
+    Incremental.reannotate(spark, dir, Seq("d2"))
+    assert(Incremental.pendingReannotations(spark, dir).isEmpty)
+  }
 }

@@ -52,6 +52,15 @@ class PipelineSpec extends SparkTestBase {
     assert(preds.contains(":typedAs"))
   }
 
+  test("cluster records list member mentions, sizes consistent (egress)") {
+    val res = Pipeline.runCached(spark, sfUnit)
+    val recs = Pipeline.clusterRecords(res)
+    assert(recs.count() == res.clusters.count())
+    assert(recs.count() > 0)
+    // the mentions array is exactly the cluster's membership
+    assert(recs.filter(size(col("mentions")) =!= col("nelements")).count() == 0)
+  }
+
   test("triples are deterministic across runs (fresh run, no memo)") {
     import graft.fixtures.Corpus
     import graft.kb.Registry

@@ -21,12 +21,13 @@ import graft.core.InputDoc
   *     TOP level's executor count must leave headroom (round 2 ran
   *     8 x 10 GiB executors on a hypervisor-overcommitted 128 GiB box and
   *     measured eff 0.046 from swap thrash, not from the plan). Default
-  *     is 2 -> 8 executors x 2 cores x 4 GiB: top level = 32 GiB of
-  *     executor heap + 8 GiB driver, and 16 concurrent cores — half the
-  *     box — so per-core memory bandwidth stays roughly constant across
+  *     is 1 -> 4 executors x 2 cores x 8 GiB: top level = 32 GiB of
+  *     executor heap + 8 GiB driver, and 8 concurrent cores — a quarter
+  *     of the box — so per-core memory bandwidth stays constant across
   *     levels (on a real cluster every added executor brings its own
   *     memory bus; a single box does not, and letting the top level
-  *     saturate the bus measures the BOX, not the plan).
+  *     saturate the bus measures the BOX, not the plan) and the episodic
+  *     co-tenant load this host carries perturbs both levels equally.
   */
 object Bench {
 
@@ -133,7 +134,7 @@ object Bench {
     val heapG = Runtime.getRuntime.maxMemory / (1L << 30)
     val replicate = sys.env.get("SPARK_GRAFT_REPLICATE").map(_.toInt).getOrElse {
       // threads mode runs executor + driver in ONE JVM: gate on its heap
-      if (mode == "threads" && heapG < 24) 16 else 96
+      if (mode == "threads" && heapG < 24) 16 else 40
     }
 
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
@@ -145,7 +146,11 @@ object Bench {
     var queriesTotal = 0.0
     val levelResults = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
     val execCores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
-    val execMemG = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_G", "4").toInt
+    // 8 GiB/worker -> 7 GiB executor heap: a 5 GiB heap showed episodic
+    // full-GC thrash (283 of 342 core-s in one count stage) once the old
+    // gen fell under ~2.5 GiB with NewRatio=1; ladder top stays ~45 GiB
+    // total against the 128 GiB host.
+    val execMemG = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_G", "8").toInt
     val lvlName: Int => String =
       if (mode == "threads") l => s"local$l" else l => s"executors$l"
 
@@ -263,7 +268,7 @@ object Bench {
     // runs can raise SPARK_GRAFT_SCALE_REPS.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS",
-        if (mode == "threads") "2,8,32" else "2,8")
+        if (mode == "threads") "2,8,32" else "1,4")
       .split(",").map(_.trim.toInt).toSeq
     (1 to reps).foreach { _ =>
       levels.foreach { l =>

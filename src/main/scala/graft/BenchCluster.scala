@@ -126,16 +126,31 @@ object BenchCluster {
       // spawns 8 x ~20 GC/JIT/netty threads sized for 32 CPUs (observed
       // loadavg 64 on 32 cores — thrash that penalizes exactly the 4N
       // level). On a real cluster this is what container CPU limits do.
+      // NewRatio=1 (half the heap young): the pipeline's hot stages
+      // allocate streams of short-lived rows (cogroup buffers, codegen
+      // rows); with the default 1:2 ratio survivors overflow into the
+      // old gen and a 480k-doc run measured 224 core-s of GC in ONE
+      // checkpoint stage (30% of its run time).
       .config("spark.executor.extraJavaOptions",
-        s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPer")
+        s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPer -XX:NewRatio=1")
+      // Loopback cluster: a "remote" fetch costs microseconds, so never
+      // hold a task back waiting for block locality (the default 3s
+      // locality.wait turns every post-checkpoint stage into scheduler
+      // latency — pure serial fraction that Amdahl-caps the ladder).
+      .config("spark.locality.wait", "0s")
       .config("spark.jars", appJar)
       // long stop-the-world pauses + a busy driver must not get an
       // executor (and its lineage-truncated checkpoint blocks) removed
       .config("spark.network.timeout", "300s")
       .config("spark.executor.heartbeatInterval", "30s")
       .config("spark.sql.shuffle.partitions", Bench.scaleParts.toString)
+      // AQE default OFF for the ladder: its per-stage re-planning is
+      // driver-side latency (~8 s level-independent at 80k docs,
+      // measured), i.e. pure serial fraction. At 100 TB the same latency
+      // amortizes over minutes-long stages and AQE's skew handling pays
+      // for itself — this is a bench-scale knob, not a design stance.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Bench.localDir)
@@ -152,6 +167,10 @@ object BenchCluster {
             println(f"[stage] ${i.stageId}%4d wall=$wall%6.1fs " +
               f"run=${m.executorRunTime / 1e3}%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs " +
               f"gc=${m.jvmGCTime / 1e3}%6.1fs tasks=${i.numTasks}%4d ${i.name.take(50)}")
+          if (m.executorCpuTime / 1e9 > 40 &&
+              sys.env.get("SPARK_GRAFT_STAGE_DETAILS").contains("1"))
+            println(s"[stage-details] ${i.stageId}\n" + i.details.linesIterator
+              .filter(_.contains("graft")).take(8).mkString("\n"))
         }
       })
     // wait for every executor to register so the timed run sees full

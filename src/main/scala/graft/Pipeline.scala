@@ -54,22 +54,32 @@ object Pipeline {
     val regex = RegexNer.mentions(spark, docs)
     val merged = MergeAnnsets.merge(spark, Seq(trie, regex))
 
+    // ONE registry aggregate serves both the linker's broadcast-or-salt
+    // gate (row count) and the new-entity id base (max id) — separate
+    // jobs otherwise, and per-job latency is the serial fraction that
+    // Amdahl-caps small-batch scaling.
+    val regAgg = registry.agg(max(col("id")), count(lit(1))).collect()(0)
+    val base = regAgg.getLong(0)
+    val regRows = regAgg.getLong(1)
+
     // localCheckpoint truncates the lineage: the triple-rule union
     // references this frame 5x and planning cost explodes otherwise.
     // Candidate lists stay a separate mention-keyed frame — NOT a wide
     // column dragged through every downstream shuffle of `linked`.
     val (linkedRaw, mentionCandidates) =
-      Linker.linkWithCandidates(spark, merged, text, registry)
+      Linker.linkWithCandidates(spark, merged, text, registry,
+        registryRows = Some(regRows))
     val linked = Ckpt(linkedRaw)
 
     val nil = linked.filter(col("is_nil") &&
       // DATE-skip mentions never cluster (reference P3/P7 interplay)
       col("mention_type") =!= "DATE")
-    val (assignRaw, clustersRaw) = NilCluster.cluster(spark, nil)
+    val clusterRes = NilCluster.clusterFull(spark, nil)
+    val clustersRaw = clusterRes.clusters
 
     // Deterministic contiguous new-entity ids (W7, reference
-    // indexer/main.py:408-411): base = max registry id.
-    val base = registry.agg(max(col("id"))).collect()(0).getLong(0)
+    // indexer/main.py:408-411): base = max registry id (fused aggregate
+    // above).
 
     // One row per NIL cluster — bounded by the distinct-surface
     // vocabulary (breakup rule A8 caps cluster fan-in), so up to a guard
@@ -109,10 +119,6 @@ object Pipeline {
         Ckpt(spark.createDataFrame(withIds, schema))
       }
 
-    val assignments = assignRaw.join(
-      clusters.select("cluster_key", "nil_id", "title", "cluster_type"),
-      Seq("cluster_key"))
-
     val newEntities = clusters.select(
       col("nil_id").as("id"),
       lit(Registry.RwIndexer).as("indexer"),
@@ -124,13 +130,27 @@ object Pipeline {
       col("cluster_type").as("type_"),
       col("center").as("emb"))
 
-    // resolved display name per mention: ent:<title> or nil:<title>
-    val nilNames = assignments.select(
-      col("doc_id"), col("annset"), col("ann_id"),
-      concat(lit("nil:"), col("title")).as("nil_name"),
-      col("nil_id"), col("cluster_type"))
+    // resolved display name per mention: ent:<title> or nil:<title>.
+    // The NIL assignment is a pure function of the mention's SURFACE
+    // (NilCluster assigns by lower(mention)), so resolution joins the
+    // VOCABULARY-sized surface -> (nil_name, nil_id, type) map — a
+    // broadcast on the local path, a surface-keyed shuffle of the small
+    // map otherwise — instead of joining the mention-sized assignments
+    // frame back on the annotation key (measured flipping to a spilling
+    // sort-merge join of the whole linked frame at 240k docs).
+    val vocabNames = clusterRes.surfaceMap.select("surface", "cluster_key")
+      .join(clusters.select("cluster_key", "nil_id", "title", "cluster_type"),
+        Seq("cluster_key"))
+      .select(col("surface"),
+        concat(lit("nil:"), col("title")).as("nil_name"),
+        col("nil_id"), col("cluster_type"))
     val resolved = linked
-      .join(nilNames, Seq("doc_id", "annset", "ann_id"), "left")
+      .withColumn("surface",
+        when(col("is_nil") && col("mention_type") =!= "DATE",
+          lower(col("mention"))))
+      .join(if (clusterRes.isLocal) broadcast(vocabNames) else vocabNames,
+        Seq("surface"), "left")
+      .drop("surface")
       .withColumn("name",
         when(col("nil_name").isNotNull, col("nil_name"))
           .when(col("entity_id") >= 0, concat(lit("ent:"), col("title")))
@@ -141,23 +161,27 @@ object Pipeline {
       .filter(col("name").isNotNull)
       .transform(Ckpt(_))
 
-    val mentionsT = resolved.select(
-      col("doc_id"),
-      concat(lit("doc:"), col("doc_id")).as("subj"),
-      lit(":mentions").as("pred"),
-      col("name").as("obj")).distinct()
-
-    val typedT = resolved.select(
-      col("doc_id"),
-      col("name").as("subj"),
-      lit(":typedAs").as("pred"),
-      col("rtype").as("obj")).distinct()
-
-    val sameAsT = nilNames.select(
-      col("doc_id"),
-      col("nil_name").as("subj"),
-      lit(":sameAsCluster").as("pred"),
-      concat(lit("NIL"), col("nil_id")).as("obj")).distinct()
+    // :mentions / :typedAs / :sameAsCluster in ONE scan of the resolved
+    // checkpoint + ONE distinct. A localCheckpoint is a row store — every
+    // scan deserializes FULL rows (no column pruning) — so the previous
+    // three separate projection+distinct branches paid three full
+    // deserialize passes (measured GC-bound at 240k docs). The fused
+    // distinct is equivalent because the three triple kinds carry
+    // distinct `pred` constants: distinct(union) = union(distincts).
+    val projT = resolved.select(col("doc_id"), explode(concat(
+        array(
+          struct(concat(lit("doc:"), col("doc_id")).as("subj"),
+            lit(":mentions").as("pred"), col("name").as("obj")),
+          struct(col("name").as("subj"),
+            lit(":typedAs").as("pred"), col("rtype").as("obj"))),
+        when(col("nil_name").isNotNull, array(
+          struct(col("nil_name").as("subj"),
+            lit(":sameAsCluster").as("pred"),
+            concat(lit("NIL"), col("nil_id")).as("obj"))))
+          .otherwise(array().cast("array<struct<subj:string,pred:string,obj:string>>"))
+      )).as("t"))
+      .select(col("doc_id"), col("t.subj"), col("t.pred"), col("t.obj"))
+      .distinct()
 
     val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val coT = resolved
@@ -176,8 +200,7 @@ object Pipeline {
       lit(":hasMedia").as("pred"),
       col("media_ref").as("obj"))
 
-    val triples = mentionsT.unionByName(typedT).unionByName(sameAsT)
-      .unionByName(coT).unionByName(mediaT)
+    val triples = projT.unionByName(coT).unionByName(mediaT)
 
     // J9: pseudo-cluster records for NOT-NIL mentions, grouped by url
     // (reference nilcluster/main.py:124-161): title from the linked

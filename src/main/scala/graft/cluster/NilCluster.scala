@@ -371,6 +371,19 @@ object NilCluster {
   // entry point
   // ---------------------------------------------------------------------
 
+  /** Full clustering result. `surfaceMap` (surface -> cluster_key) is
+    * vocabulary-sized — the collapse that makes 10^12 mentions
+    * clusterable — and `isLocal` says whether it is a driver-built
+    * LocalRelation (broadcastable for free). Downstream joins that only
+    * need a mention's cluster should go through surfaceMap by SURFACE,
+    * not through `assignments` by annotation key: the assignments frame
+    * is mention-sized, and joining it back to the linked frame was
+    * measured flipping to a spilling sort-merge join at 240k docs
+    * (15.7 -> 276.6 core-s for the resolve stage, 1.5x input).
+    */
+  final case class ClusterResult(assignments: DataFrame, clusters: DataFrame,
+                                 surfaceMap: DataFrame, isLocal: Boolean)
+
   /** Cluster NIL mentions. Input columns required:
     * (doc_id, annset, ann_id, mention, mention_type). Returns
     * (assignments, clusters):
@@ -380,6 +393,12 @@ object NilCluster {
     */
   def cluster(spark: SparkSession, nilMentions: DataFrame,
               localLimit: Long = LocalLimit): (DataFrame, DataFrame) = {
+    val r = clusterFull(spark, nilMentions, localLimit)
+    (r.assignments, r.clusters)
+  }
+
+  def clusterFull(spark: SparkSession, nilMentions: DataFrame,
+                  localLimit: Long = LocalLimit): ClusterResult = {
     import spark.implicits._
     val mentionsN = nilMentions
       .withColumn("surface", lower(col("mention")))
@@ -429,6 +448,6 @@ object NilCluster {
       .join(centers, Seq("cluster_key"))
 
     val assignments = assigned.select("doc_id", "annset", "ann_id", "cluster_key")
-    (assignments, clusters)
+    ClusterResult(assignments, clusters, surfKey, isLocal)
   }
 }

@@ -114,7 +114,8 @@ object Linker {
     * score (bi-encoder still computed — it remains a NIL feature).
     */
   def candidates(spark: SparkSession, linkable: Dataset[LinkInput],
-                 registry: DataFrame, rerank: Boolean = false): DataFrame = {
+                 registry: DataFrame, rerank: Boolean = false,
+                 registryRows: Option[Long] = None): DataFrame = {
     import spark.implicits._
 
     val regTokens = registry
@@ -136,9 +137,11 @@ object Linker {
     // token index must shuffle — then head tokens ("spark") would funnel
     // into single reducers, so the mention side is salted and the token
     // index replicated (identical output, hot keys spread `TokenJoinSalts`
-    // ways). registry.count() is one cheap job per pipeline run.
+    // ways). The registry row count is one cheap job per pipeline run —
+    // callers that already aggregate the registry (Pipeline fuses it with
+    // its max-id collect) pass it in to save the job.
     val joined =
-      if (registry.count() <= broadcastMaxRows)
+      if (registryRows.getOrElse(registry.count()) <= broadcastMaxRows)
         mentionTokens.join(broadcast(regTokens), Seq("token"))
       else saltedTokenJoin(mentionTokens, regTokens, TokenJoinSalts)
     val pairs = joined
@@ -230,7 +233,8 @@ object Linker {
     */
   def linkWithCandidates(
       spark: SparkSession, mentions: Dataset[Mention], docText: DataFrame,
-      registry: DataFrame, rerank: Boolean = false): (DataFrame, DataFrame) = {
+      registry: DataFrame, rerank: Boolean = false,
+      registryRows: Option[Long] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
 
     val all = withEmbeddings(spark, mentions, docText).cache()
@@ -244,7 +248,7 @@ object Linker {
       .withColumn("is_nil", lit(false))
 
     val linkable = all.filter(!_.skip)
-    val cands = candidates(spark, linkable, registry, rerank)
+    val cands = candidates(spark, linkable, registry, rerank, registryRows)
 
     // ONE aggregation derives everything per mention — the candidate
     // list, the top candidate, and the NIL features. (An earlier shape

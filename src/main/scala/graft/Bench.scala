@@ -21,7 +21,7 @@ import graft.core.InputDoc
   *     TOP level's executor count must leave headroom (round 2 ran
   *     8 x 10 GiB executors on a hypervisor-overcommitted 128 GiB box and
   *     measured eff 0.046 from swap thrash, not from the plan). Default
-  *     is 1 -> 4 executors x 2 cores x 8 GiB: top level = 32 GiB of
+  *     is 1 -> 4 executors x 2 cores x 6 GiB: top level = 24 GiB of
   *     executor heap + 8 GiB driver, and 8 concurrent cores — a quarter
   *     of the box — so per-core memory bandwidth stays constant across
   *     levels (on a real cluster every added executor brings its own
@@ -145,12 +145,20 @@ object Bench {
     var queriesJson: Option[String] = None
     var queriesTotal = 0.0
     val levelResults = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
+    val loadSeen = scala.collection.mutable.ArrayBuffer.empty[Double]
     val execCores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
-    // 8 GiB/worker -> 7 GiB executor heap: a 5 GiB heap showed episodic
-    // full-GC thrash (283 of 342 core-s in one count stage) once the old
-    // gen fell under ~2.5 GiB with NewRatio=1; ladder top stays ~45 GiB
-    // total against the 128 GiB host.
-    val execMemG = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_G", "8").toInt
+    // 6 GiB/worker -> 5 GiB executor heap. COUNTER-INTUITIVE, measured
+    // both ways at 160-200k docs: 8 GiB workers ran the same job 2.2x
+    // SLOWER (135s vs 52s at 160k) with >100 core-s of GC in single
+    // stages, on a host with 118 GiB free (not memory pressure). A
+    // larger heap means a larger unified memory pool, so hash
+    // aggregates grow giant in-heap maps instead of spilling — and
+    // spill here goes to tmpfs (RAM-speed), far cheaper than the
+    // old-gen churn of carrying the maps. Keep executors lean and let
+    // them spill. (The round-3 4-scan triple emission that once GC-
+    // thrashed 5 GiB heaps at 240k docs was fixed separately — fused
+    // single-scan emission.)
+    val execMemG = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_G", "6").toInt
     val lvlName: Int => String =
       if (mode == "threads") l => s"local$l" else l => s"executors$l"
 
@@ -180,6 +188,7 @@ object Bench {
         else s"""{"docs":${levelResults(levels.head)._2},"triples":${triplesAll.head},""" +
           s""""triples_check_equal":${triplesAll.size == 1},"mode":"$mode",""" +
           s""""replicate":$replicate,"levels":$perLevel,"scaling_pairs":$pairJson,""" +
+          s""""loadavg_at_levels":[${loadSeen.mkString(",")}],""" +
           s""""primary_pair":"$pairDesc"$effJson}"""
       s"""{"metric":"total","value":$queriesTotal,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","complete":$done,"kb_pipeline":$pipeline}"""
@@ -246,6 +255,37 @@ object Bench {
     def timed(c: Int): (Double, Long, Long) =
       if (mode == "threads") timedThreads(c) else timedJvms(c)
 
+    // The host carries EPISODIC co-tenant load (loadavg 4-17 observed
+    // with zero repo processes; identical runs vary up to 3x). A ladder
+    // level that lands on a burst measures the co-tenant, not the plan —
+    // round 3 recorded one level-4 run at 288s whose quiet-window truth
+    // is ~55s (loadavg 9 during the window). Two bounded defenses:
+    // (a) before each level, wait up to `quietWaitS` for loadavg(1m) to
+    // fall under `quietLoad`; (b) after the ladder, if the pair implies
+    // a physically implausible result (4x cores slower per-core than
+    // HALF the small level's rate), re-run the suspect level once and
+    // keep the better time. Both are bounded so the default run still
+    // fits the driver timeout; the observed loadavg is recorded in the
+    // result JSON for transparency.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.5").toDouble
+    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "150").toInt
+    // global waiting budget across ALL levels/retries, so worst-case
+    // noise cannot push the default run past the driver timeout
+    var quietBudgetS = sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_S", "300").toInt
+    def load1: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    def awaitQuiet(): Unit = {
+      val waitS = math.min(quietWaitS, quietBudgetS)
+      val t0 = System.nanoTime()
+      val deadline = t0 + waitS * 1000L * 1000 * 1000
+      while (load1 > quietLoad && System.nanoTime() < deadline)
+        Thread.sleep(10000)
+      quietBudgetS -= ((System.nanoTime() - t0) / 1e9).toInt
+      loadSeen += load1
+    }
+
     // single-level mode: honest per-JVM isolation (JIT/GC state from one
     // level otherwise bleeds into the other). Emits the query table it
     // measured alongside the level result (r2 discarded it).
@@ -270,15 +310,24 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS",
         if (mode == "threads") "2,8,32" else "1,4")
       .split(",").map(_.trim.toInt).toSeq
-    (1 to reps).foreach { _ =>
-      levels.foreach { l =>
-        val r = timed(l)
-        levelResults(l) = levelResults.get(l) match {
-          case Some(prev) if prev._1 <= r._1 => prev
-          case _ => r
-        }
-        flush()
+    def runLevel(l: Int): Unit = {
+      awaitQuiet()
+      val r = timed(l)
+      levelResults(l) = levelResults.get(l) match {
+        case Some(prev) if prev._1 <= r._1 => prev
+        case _ => r
       }
+      flush()
+    }
+    (1 to reps).foreach(_ => levels.foreach(runLevel))
+    // implausibility retry (bounded to one per level): on a quiet box a
+    // 4x-executor level cannot run at under HALF the per-core rate of
+    // the small level — per-core throughput only degrades mildly with
+    // scale-out. If it did, a co-tenant burst hit that window.
+    def tputPerCore(l: Int) = levelResults(l)._2 / levelResults(l)._1 / l
+    for ((a, b) <- levels.zip(levels.tail) if b == 4 * a) {
+      if (tputPerCore(b) < 0.5 * tputPerCore(a)) runLevel(b)
+      if (tputPerCore(a) < 0.5 * tputPerCore(b)) runLevel(a)
     }
     emit(buildJson(true))
   }

@@ -48,6 +48,15 @@ object Pipeline {
     * feeds back the grown registry (see [[Incremental]]).
     */
   def run(spark: SparkSession, docs: Dataset[InputDoc], registry: DataFrame): Result = {
+    // dev-only sub-phase timer (same env as Bench's phase output)
+    val verbose = sys.env.get("SPARK_GRAFT_PHASES").contains("1")
+    def ph[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (verbose)
+        println(f"[pipe] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
     val text = docText(spark, docs).cache()
 
     val trie = TrieNer.mentions(spark, docs)
@@ -58,7 +67,7 @@ object Pipeline {
     // gate (row count) and the new-entity id base (max id) — separate
     // jobs otherwise, and per-job latency is the serial fraction that
     // Amdahl-caps small-batch scaling.
-    val regAgg = registry.agg(max(col("id")), count(lit(1))).collect()(0)
+    val regAgg = ph("regAgg")(registry.agg(max(col("id")), count(lit(1))).collect()(0))
     val base = regAgg.getLong(0)
     val regRows = regAgg.getLong(1)
 
@@ -66,15 +75,15 @@ object Pipeline {
     // references this frame 5x and planning cost explodes otherwise.
     // Candidate lists stay a separate mention-keyed frame — NOT a wide
     // column dragged through every downstream shuffle of `linked`.
-    val (linkedRaw, mentionCandidates) =
+    val (linkedRaw, mentionCandidates) = ph("linker")(
       Linker.linkWithCandidates(spark, merged, text, registry,
-        registryRows = Some(regRows))
-    val linked = Ckpt(linkedRaw)
+        registryRows = Some(regRows)))
+    val linked = ph("ckpt.linked")(Ckpt(linkedRaw))
 
     val nil = linked.filter(col("is_nil") &&
       // DATE-skip mentions never cluster (reference P3/P7 interplay)
       col("mention_type") =!= "DATE")
-    val clusterRes = NilCluster.clusterFull(spark, nil)
+    val clusterRes = ph("nilcluster")(NilCluster.clusterFull(spark, nil))
     val clustersRaw = clusterRes.clusters
 
     // Deterministic contiguous new-entity ids (W7, reference
@@ -89,7 +98,10 @@ object Pipeline {
     // broadcast of a local table. Beyond the guard, fall back to the
     // distributed window formulation.
     val clusterGuard = 200000
-    val clusterHead = clustersRaw.take(clusterGuard + 1)
+    val clusterHead = ph("clusters.take")(clustersRaw.take(clusterGuard + 1))
+    if (verbose)
+      println(s"[pipe] nil path local=${clusterRes.isLocal} " +
+        s"clusters=${clusterHead.length}")
     val clusters: DataFrame =
       if (clusterHead.length <= clusterGuard) {
         import org.apache.spark.sql.Row
@@ -159,7 +171,7 @@ object Pipeline {
         when(col("nil_name").isNotNull, col("cluster_type"))
           .otherwise(col("entity_type")))
       .filter(col("name").isNotNull)
-      .transform(Ckpt(_))
+      .transform(df => ph("ckpt.resolved")(Ckpt(df)))
 
     // :mentions / :typedAs / :sameAsCluster in ONE scan of the resolved
     // checkpoint + ONE distinct. A localCheckpoint is a row store — every

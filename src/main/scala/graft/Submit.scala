@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point (north rule: "runs via spark-submit on
+  * multi-executor clusters"). Unlike the dev/bench mains, this builds
+  * its session WITHOUT a master override, so cluster settings come from
+  * spark-submit / spark-defaults as they would in production:
+  *
+  *   spark-submit --class graft.Submit \
+  *     --master spark://host:7077 --executor-cores 4 --executor-memory 8g \
+  *     target/scala-2.13/ikbpspark_2.13-0.1.0.jar \
+  *     run   <docs-parquet-dir> <workDir> [numBatches]   # incremental KB run
+  *   spark-submit ... graft.Submit reannotate <workDir> <docId>[,docId...]
+  *
+  * `run` executes the full incremental KB population (per-partition
+  * lineage, resumable: re-submitting after a kill continues from the
+  * last completed partition). State lands in IceLite tables under
+  * workDir (documents, mentions, mention_candidates, entity_registry,
+  * triples, lineage, metrics).
+  */
+object Submit {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: run <sfDir> <workDir> [numBatches] | " +
+      "reannotate <workDir> <docIds>")
+    val spark = SparkSession.builder()
+      .appName("graft-kb-population")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try args(0) match {
+      case "run" =>
+        val Array(_, sfDir, workDir) = args.take(3)
+        val numBatches =
+          if (args.length > 3) args(3).toInt
+          else math.max(1, spark.sparkContext.defaultParallelism / 4)
+        val docs = fixtures.Corpus.inputDocs(spark, sfDir)
+        val t = Incremental.run(spark, docs, workDir, numBatches)
+        val triples = t.triples.read(spark).map(_.count()).getOrElse(0L)
+        println(s"graft: KB population complete, $triples triples in $workDir")
+      case "reannotate" =>
+        val Array(_, workDir, ids) = args.take(3)
+        Incremental.reannotate(spark, workDir, ids.split(",").toSeq)
+        println(s"graft: reannotated $ids in $workDir")
+      case other => sys.error(s"unknown command: $other")
+    } finally spark.stop()
+  }
+}

@@ -53,9 +53,25 @@ object BenchCluster {
   }
 
   final case class Cluster(masterUrl: String, procs: Seq[Process], logDir: File) {
-    def shutdown(): Unit = procs.reverse.foreach { p =>
-      p.destroy()
-      if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+    def shutdown(): Unit = {
+      procs.reverse.foreach { p =>
+        p.destroy()
+        if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+      }
+      live.synchronized { live -= this }
+    }
+  }
+
+  /** Clusters started and not yet shut down — so an abnormal exit path
+    * (Bench's wall-budget watchdog) can reap the daemon JVMs instead of
+    * orphaning a multi-GiB cluster on a memory-overcommitted host.
+    */
+  private val live = scala.collection.mutable.Set.empty[Cluster]
+
+  def killAll(): Unit = {
+    val snapshot = live.synchronized(live.toSeq)
+    snapshot.foreach { c =>
+      try c.shutdown() catch { case _: Throwable => () }
     }
   }
 
@@ -107,7 +123,9 @@ object BenchCluster {
           "--work-dir", new File(logDir, s"worker$i").getAbsolutePath),
         new File(logDir, s"worker$i.log"), env)
     }
-    Cluster(masterUrl, m +: ws, logDir)
+    val c = Cluster(masterUrl, m +: ws, logDir)
+    live.synchronized { live += c }
+    c
   }
 
   /** SparkSession on the standalone cluster: one executor per worker
@@ -121,6 +139,8 @@ object BenchCluster {
       .config("spark.executor.cores", coresPer.toString)
       .config("spark.executor.memory", s"${execMemG}g")
       .config("spark.cores.max", (workers * coresPer).toString)
+      .config("spark.eventLog.enabled", Bench.eventLog.isDefined.toString)
+      .config("spark.eventLog.dir", Bench.eventLog.getOrElse("/tmp"))
       // Each executor must size itself for ITS slice of the box, not the
       // whole box: without ActiveProcessorCount an 8-executor level
       // spawns 8 x ~20 GC/JIT/netty threads sized for 32 CPUs (observed
@@ -132,18 +152,33 @@ object BenchCluster {
       // old gen and a 480k-doc run measured 224 core-s of GC in ONE
       // checkpoint stage (30% of its run time).
       .config("spark.executor.extraJavaOptions",
-        s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPer -XX:NewRatio=1")
+        s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPer -XX:NewRatio=1 " +
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_OPTS", ""))
       // Loopback cluster: a "remote" fetch costs microseconds, so never
       // hold a task back waiting for block locality (the default 3s
       // locality.wait turns every post-checkpoint stage into scheduler
       // latency — pure serial fraction that Amdahl-caps the ladder).
       .config("spark.locality.wait", "0s")
+      // Checkpoint/persisted RDD blocks hold InternalRows; the default
+      // JavaSerializer writes them via ObjectOutputStream (measured: the
+      // candidate-list checkpoint stage spent ~90% of its CPU there).
+      // UnsafeRow is KryoSerializable (raw bytes), so Kryo + lz4 block
+      // compression cuts both the serialize CPU and the bytes shipped
+      // on remote checkpoint reads.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.rdd.compress", "true")
       .config("spark.jars", appJar)
       // long stop-the-world pauses + a busy driver must not get an
       // executor (and its lineage-truncated checkpoint blocks) removed
       .config("spark.network.timeout", "300s")
       .config("spark.executor.heartbeatInterval", "30s")
       .config("spark.sql.shuffle.partitions", Bench.scaleParts.toString)
+      // take(n) defaults to an incremental partition scan (1, 4, 16, ...
+      // partitions = one sequential JOB each). The pipeline's two guard
+      // takes (vocabulary probe, cluster guard) each burned 4-5 job
+      // round-trips of pure driver latency — level-independent serial
+      // fraction. Scan all partitions in the first job instead.
+      .config("spark.sql.limit.initialNumPartitions", Bench.scaleParts.toString)
       // AQE default OFF for the ladder: its per-stage re-planning is
       // driver-side latency (~8 s level-independent at 80k docs,
       // measured), i.e. pure serial fraction. At 100 TB the same latency

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 /** Scratch profiling main (not part of the driver contract). */
 object Dev {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("probe")) {
+      (1 to 3).foreach(i => println(f"[dev] fault probe $i: ${Bench.probeFaultMBps()}%.0f MB/s"))
+      return
+    }
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
       .master("local[8]")

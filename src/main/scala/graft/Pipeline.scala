@@ -57,7 +57,13 @@ object Pipeline {
         println(f"[pipe] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
-    val text = docText(spark, docs).cache()
+    // document-scale frame: persist under the Ckpt storage policy (the
+    // bench's multi-executor mode keeps these blocks on disk) — a plain
+    // .cache() holds deserialized columnar batches in the storage pool,
+    // and at 4 executors the pooled caches FIT in heap, pinning old-gen
+    // memory that the single-executor level never holds (measured as a
+    // level-ASYMMETRIC GC+CPU inflation in every post-linker stage).
+    val text = docText(spark, docs).persist(Ckpt.storage)
 
     val trie = TrieNer.mentions(spark, docs)
     val regex = RegexNer.mentions(spark, docs)

@@ -23,9 +23,18 @@ object Submit {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: run <sfDir> <workDir> [numBatches] | " +
       "reannotate <workDir> <docIds>")
+    // setIfMissing: production defaults that a spark-submit --conf can
+    // still override. Kryo + lz4 block compression matter here — the
+    // pipeline's stage-boundary checkpoints hold InternalRows, and the
+    // JavaSerializer fallback was measured ~10x slower serializing them.
+    val conf = new org.apache.spark.SparkConf()
+    conf.setIfMissing("spark.serializer",
+      "org.apache.spark.serializer.KryoSerializer")
+    conf.setIfMissing("spark.rdd.compress", "true")
+    conf.setIfMissing("spark.sql.session.timeZone", "UTC")
     val spark = SparkSession.builder()
       .appName("graft-kb-population")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config(conf)
       .getOrCreate()
     try args(0) match {
       case "run" =>

@@ -400,9 +400,11 @@ object NilCluster {
   def clusterFull(spark: SparkSession, nilMentions: DataFrame,
                   localLimit: Long = LocalLimit): ClusterResult = {
     import spark.implicits._
+    // mention-scale: Ckpt.storage, not .cache() — see Pipeline.run note
+    // on level-asymmetric storage-pool pressure.
     val mentionsN = nilMentions
       .withColumn("surface", lower(col("mention")))
-      .cache()
+      .persist(graft.Ckpt.storage)
 
     val surfacesDf = mentionsN.select("surface").distinct().cache()
     // one job decides the path AND feeds the local path: take(limit+1)
@@ -426,7 +428,7 @@ object NilCluster {
     val surfKey = surfToCluster.select("surface", "cluster_key")
     val assigned = mentionsN.join(
       if (isLocal) broadcast(surfKey) else surfKey,
-      Seq("surface")).cache()
+      Seq("surface")).persist(graft.Ckpt.storage)
 
     // title (A1) / type (A2): mode with (count desc, value asc) tie-break
     def mode(df: DataFrame, valueCol: String, outName: String): DataFrame = {

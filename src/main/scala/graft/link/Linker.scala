@@ -237,7 +237,10 @@ object Linker {
       registryRows: Option[Long] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
 
-    val all = withEmbeddings(spark, mentions, docText).cache()
+    // mention-scale with embeddings + contexts — the widest hot frame;
+    // Ckpt.storage (not .cache()) keeps it out of the executor storage
+    // pools on the multi-executor bench (see Pipeline.run note).
+    val all = withEmbeddings(spark, mentions, docText).persist(graft.Ckpt.storage)
 
     // skip-path: dictionary-resolved or DATE mentions bypass scoring
     // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54)

@@ -283,12 +283,18 @@ object Bench {
     // overcommitted host), and exits 0 — a degraded host now costs
     // fidelity, never the evidence itself.
     val wallBudgetS = sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET_S", "545").toInt
+    // once-only final emit: without it a watchdog firing just as the run
+    // completes would print a SECOND JSON line and overwrite the
+    // completed BENCH_LOCAL.json with an "aborted" one
+    val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitFinal(json: => String): Unit =
+      if (emittedFinal.compareAndSet(false, true)) emit(json)
     val watchdog = new Thread(() => {
       val ok = try { Thread.sleep(wallBudgetS * 1000L); true }
                catch { case _: InterruptedException => false }
       if (ok) {
         abortedBy = Some("wall_budget")
-        emit(buildJson(false))
+        emitFinal(buildJson(false))
         BenchCluster.killAll()
         Runtime.getRuntime.halt(0)
       }
@@ -301,20 +307,31 @@ object Bench {
     // taught that the gate-critical scaling pair must land in
     // BENCH_LOCAL.json before anything optional runs).
     def runQueries(): Unit = if (!skipQueries) {
+      // the ladder auto-sets graft.ckpt.level=disk for multi-executor
+      // runs; the query table is a single local[k] JVM and must keep the
+      // MEMORY_AND_DISK_SER default or its timings stop being
+      // like-for-like with earlier rounds' query baselines
+      val ladderCkpt = sys.props.remove("graft.ckpt.level")
       val s1 = session(cpus)
       // warm-up: parquet footer reads + codegen
       SparkEntry.queries("q1_agg")(s1, sfDir).count()
-      val results = headline.map { name =>
+      // flush after EVERY query: a wall-budget abort mid-loop keeps the
+      // timings already measured (the 2026-08-17 degraded-window run lost
+      // its whole query table to an abort on the later queries)
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      headline.foreach { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(s1, sfDir).count()
         catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        results += (name -> (System.nanoTime() - t0) / 1e9)
+        queriesJson = Some(results.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}"))
+        queriesTotal = results.map(_._2).sum
+        flush()
       }
       s1.stop()
-      queriesJson = Some(results.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}"))
-      queriesTotal = results.map(_._2).sum
-      flush()
+      // restore: retries may still run ladder levels after the queries
+      ladderCkpt.foreach(v => sys.props("graft.ckpt.level") = v)
     }
 
     // ---- scaling evidence: same KB job at N vs 4N -----------------------
@@ -417,7 +434,7 @@ object Bench {
       levelResults(lvl) = timed(lvl)
       runQueries()
       val (sec, docs, triples) = levelResults(lvl)
-      emit(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,""" +
+      emitFinal(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,""" +
         s""""docs_per_sec":${docs / sec},"host_fault_mbps":${f"$fault%.0f"},""" +
         s""""queries":${queriesJson.getOrElse("{}")},""" +
         s""""queries_total_sec":$queriesTotal}""")
@@ -510,7 +527,7 @@ object Bench {
         else runLevel(victim)
       }
     }
-    emit(buildJson(true))
+    emitFinal(buildJson(true))
   }
 
   /** Driver contract: the result JSON must be machine-parseable from the

@@ -173,14 +173,24 @@ object Incremental {
     val docs = t.documents.read(spark).get
       .filter(col("doc_id").isin(docIds: _*)).as[InputDoc]
 
-    val registry = t.registry.read(spark).get.cache()
+    // Registry pin (same protocol as run()'s registry_snapshot rows): a
+    // crash REPLAY of this id-set must see the registry as of the first
+    // attempt's start — the crashed attempt may already have merged its
+    // new NIL entities, and re-running against that half-grown registry
+    // would link mentions to entities created by an attempt that "never
+    // happened", a state no uninterrupted execution can produce. A
+    // dangling start row for the SAME id-set carries the pin to reuse.
+    val snapId = latestDanglingSnap(spark, t, idList)
+      .getOrElse(t.registry.latestSnapshot.get)
+    val registry = t.registry.readSnapshot(spark, snapId).cache()
     val res = Pipeline.run(spark, docs, registry)
 
     // attempt marker = current lineage snapshot count: unique per attempt
     // (every append bumps it), deterministic (no wall-clock/random), and
     // it lets a done row match ITS start row — a replayed attempt leaves
     // the crashed attempt's start dangling without flagging the replay.
-    val marker = s"${t.lineage.snapshots.size}:$idList"
+    // The pinned registry snapshot rides in the marker for replays.
+    val marker = s"${t.lineage.snapshots.size}:$snapId:$idList"
     t.lineage.append(Seq((-1, "reannotate_start", marker))
       .toDF("batch_id", "stage", "status"))
     val delKeys = docIds.toDF("doc_id")
@@ -202,25 +212,56 @@ object Incremental {
     * idempotent, and the replay gets its own attempt marker so the
     * crashed attempt's dangling start row never re-flags it).
     */
-  def pendingReannotations(spark: SparkSession, workDir: String): Seq[Seq[String]] = {
-    val t = Tables(workDir)
+  /** One parsed reannotate lineage row: (idList, attempt, pinned registry
+    * snapshot, isStart). Tolerates all three historical marker formats —
+    * "<ids>" (earliest), "<attempt>:<ids>", "<attempt>:<snap>:<ids>" —
+    * so crash recovery never throws on a workDir written by older code.
+    */
+  private def parseMarker(stage: String, status: String): (String, Int, Option[Int], Boolean) = {
+    val isStart = stage == "reannotate_start"
+    def num(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    status.split(":", 3) match {
+      case Array(n, s, ids) if num(n) && num(s) => (ids, n.toInt, Some(s.toInt), isStart)
+      case Array(n, s, ids) if num(n) => (s"$s:$ids", n.toInt, None, isStart)
+      case Array(n, ids) if num(n) => (ids, n.toInt, None, isStart)
+      case _ => (status, 0, None, isStart)
+    }
+  }
+
+  private def reannotateRows(spark: SparkSession, t: Tables): Seq[(String, Int, Option[Int], Boolean)] =
     t.lineage.read(spark) match {
       case None => Seq.empty
-      case Some(df) =>
-        // an id-set is pending iff its LATEST attempt (highest marker) has
-        // no done row — a completed replay supersedes the crashed
-        // attempt's dangling start
-        val rows = df.filter(col("stage").startsWith("reannotate"))
-          .select("stage", "status").collect()
-          .map { r =>
-            val Array(n, ids) = r.getString(1).split(":", 2)
-            (ids, n.toInt, r.getString(0) == "reannotate_start")
-          }
-        rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (ids, attempts) =>
-          val latest = attempts.map(_._2).max
-          val latestDone = attempts.exists(a => a._2 == latest && !a._3)
-          if (latestDone) None else Some(ids.split(",").toSeq)
-        }
+      case Some(df) => df.filter(col("stage").startsWith("reannotate"))
+        .select("stage", "status").collect().toSeq
+        .map(r => parseMarker(r.getString(0), r.getString(1)))
     }
+
+  /** Registry snapshot pinned by the latest UNfinished attempt for this
+    * id-set, if any (None for finished sets, unknown sets, or pre-pin
+    * marker formats — callers then pin the current snapshot).
+    */
+  private def latestDanglingSnap(spark: SparkSession, t: Tables,
+                                 idList: String): Option[Int] = {
+    val attempts = reannotateRows(spark, t).filter(_._1 == idList)
+    if (attempts.isEmpty) None
+    else {
+      val latest = attempts.map(_._2).max
+      val latestDone = attempts.exists(a => a._2 == latest && !a._4)
+      if (latestDone) None
+      else attempts.collectFirst { case (_, `latest`, Some(s), true) => s }
+    }
+  }
+
+  def pendingReannotations(spark: SparkSession, workDir: String): Seq[Seq[String]] = {
+    val t = Tables(workDir)
+    // an id-set is pending iff its LATEST attempt (highest marker) has
+    // no done row — a completed replay supersedes the crashed attempt's
+    // dangling start
+    reannotateRows(spark, t).groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (ids, attempts) =>
+        val latest = attempts.map(_._2).max
+        val latestDone = attempts.exists(a => a._2 == latest && !a._4)
+        if (latestDone) None else Some(ids.split(",").toSeq)
+      }
   }
 }

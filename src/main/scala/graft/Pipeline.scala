@@ -162,13 +162,23 @@ object Pipeline {
       .select(col("surface"),
         concat(lit("nil:"), col("title")).as("nil_name"),
         col("nil_id"), col("cluster_type"))
-    val resolved = linked
-      .withColumn("surface",
-        when(col("is_nil") && col("mention_type") =!= "DATE",
-          lower(col("mention"))))
+    // Only the NIL rows enter the vocab join. A single left join with a
+    // NULL surface on every non-NIL row (the large majority) would hash
+    // all of them to ONE shuffle partition on the distributed path —
+    // null keys are retained but not special-cased by sort-merge joins,
+    // so the resolve stage would serialize at exactly the >LocalLimit
+    // scale the distributed path exists for.
+    val isNilRow = col("is_nil") && col("mention_type") =!= "DATE"
+    val nilResolved = linked.filter(isNilRow)
+      .withColumn("surface", lower(col("mention")))
       .join(if (clusterRes.isLocal) broadcast(vocabNames) else vocabNames,
         Seq("surface"), "left")
       .drop("surface")
+    val passThrough = linked.filter(!isNilRow)
+      .withColumn("nil_name", lit(null).cast("string"))
+      .withColumn("nil_id", lit(null).cast("long"))
+      .withColumn("cluster_type", lit(null).cast("string"))
+    val resolved = nilResolved.unionByName(passThrough)
       .withColumn("name",
         when(col("nil_name").isNotNull, col("nil_name"))
           .when(col("entity_id") >= 0, concat(lit("ent:"), col("title")))

@@ -36,9 +36,12 @@ object Submit {
       .appName("graft-kb-population")
       .config(conf)
       .getOrCreate()
+    val usage = "usage: run <sfDir> <workDir> [numBatches] | " +
+      "reannotate <workDir> <docIds>"
     try args(0) match {
       case "run" =>
-        val Array(_, sfDir, workDir) = args.take(3)
+        require(args.length >= 3, usage)
+        val (sfDir, workDir) = (args(1), args(2))
         val numBatches =
           if (args.length > 3) args(3).toInt
           else math.max(1, spark.sparkContext.defaultParallelism / 4)
@@ -47,10 +50,11 @@ object Submit {
         val triples = t.triples.read(spark).map(_.count()).getOrElse(0L)
         println(s"graft: KB population complete, $triples triples in $workDir")
       case "reannotate" =>
-        val Array(_, workDir, ids) = args.take(3)
+        require(args.length >= 3, usage)
+        val (workDir, ids) = (args(1), args(2))
         Incremental.reannotate(spark, workDir, ids.split(",").toSeq)
         println(s"graft: reannotated $ids in $workDir")
-      case other => sys.error(s"unknown command: $other")
+      case other => sys.error(s"unknown command: $other\n$usage")
     } finally spark.stop()
   }
 }

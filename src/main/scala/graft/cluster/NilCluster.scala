@@ -86,6 +86,40 @@ object NilCluster {
     b
   }
 
+  /** Banded sign-LSH for stage-2 pair generation inside OVERSIZE stage-1
+    * components (both paths use the same rule, keeping local/distributed
+    * clusters identical). One axis-aligned 8-bit bucket is far too
+    * selective for the 0.5-cosine stage-2 threshold (θ<60° ⇒ per-plane
+    * collision ≥ 1−θ/π ≈ 2/3, so an 8-plane bucket collides with
+    * probability ≈ (2/3)^8 ≈ 4%). Instead: `SubBands` independent bands
+    * of `SubBandPlanes` seeded random hyperplanes each — a true pair
+    * shares ≥1 band with probability ≥ 1−(1−(2/3)^4)^8 ≈ 0.83, and
+    * component transitivity (union-find / connected components) recovers
+    * most of the remainder through chains. Per-band buckets above
+    * BlockCap are still dropped, so pair volume stays ≤ bands·cap² per
+    * component.
+    */
+  val SubBands = 8
+  val SubBandPlanes = 4
+  def signBand(v: Array[Float], band: Int): Int = {
+    var b = 0
+    var p = 0
+    while (p < SubBandPlanes) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic ±1 hash of (band, plane, coordinate)
+        var h = band * 0x9E3779B9 + p * 0x85EBCA6B + i * 0xC2B2AE35
+        h ^= h >>> 16; h *= 0x45D9F3B; h ^= h >>> 16
+        s += (if ((h & 1) == 0) v(i) else -v(i))
+        i += 1
+      }
+      b = (b << 1) | (if (s >= 0) 1 else 0)
+      p += 1
+    }
+    b
+  }
+
   // ---------------------------------------------------------------------
   // driver-side path (surface set fits on driver)
   // ---------------------------------------------------------------------
@@ -123,12 +157,29 @@ object NilCluster {
     }
     val c1 = uf1.labels
 
-    // stage 2: cosine sub-clusters within each string cluster
+    // stage 2: cosine sub-clusters within each string cluster. Oversize
+    // components (> BlockCap) generate pairs through banded sign-LSH
+    // ([[signBand]]) instead of all-pairs — the SAME rule as the
+    // distributed path, so both paths enumerate the same pair set.
     val uf2 = new UnionFind(n)
     c1.zipWithIndex.groupBy(_._1).values.foreach { members =>
       val ms = members.map(_._2).sorted
-      for (x <- ms.indices; y <- (x + 1) until ms.length) {
-        val (a, b) = (ms(x), ms(y))
+      val pairs: Iterator[(Int, Int)] =
+        if (ms.length <= BlockCap)
+          for (x <- ms.indices.iterator; y <- (x + 1) until ms.length)
+            yield (ms(x), ms(y))
+        else
+          (0 until SubBands).iterator.flatMap { g =>
+            ms.groupBy(i => signBand(embs(i), g)).toSeq.sortBy(_._1)
+              .iterator.map(_._2)
+              .filter(_.length <= BlockCap)
+              .flatMap { grp =>
+                val v = grp.sorted
+                for (x <- v.indices.iterator; y <- (x + 1) until v.length)
+                  yield (v(x), v(y))
+              }
+          }
+      pairs.foreach { case (a, b) =>
         if (uf2.find(a) != uf2.find(b) &&
             Similarity.cosineDist(embs(a), embs(b)) < Stage2Threshold)
           uf2.union(a, b)
@@ -202,6 +253,7 @@ object NilCluster {
     udf((a: Seq[Float], b: Seq[Float]) => Similarity.cosineDist(a.toArray, b.toArray))
   private val embedUdf = udf((s: String) => Embed.embed(s))
   private val signBucketUdf = udf((v: Seq[Float]) => signBucket(v.toArray))
+  private val signBandUdf = udf((v: Seq[Float], g: Int) => signBand(v.toArray, g))
 
   private def blockedPairsDF(surfaces: DataFrame): DataFrame = {
     val withKeys = surfaces
@@ -240,22 +292,32 @@ object NilCluster {
     // Stage-2 guard: the within-c1 self-join is quadratic in the largest
     // stage-1 component, and a transitive chain of near-dup surfaces can
     // grow a component without limit — BlockCap on the BLOCKS does not
-    // bound it. Components above BlockCap are sub-blocked by embedding
-    // sign bucket (stage 2 merges on embedding cosine, so near pairs
-    // share sign buckets); sub-blocks still above the cap are dropped
-    // from pair generation — the same graceful-recall rule as
-    // blockedPairsDF, never a quadratic blowup. Sub-cap components keep
-    // the exact all-pairs join (sub pinned to -1).
+    // bound it. Components above BlockCap generate pairs through banded
+    // sign-LSH ([[signBand]]: ~0.83 per-pair recall at the stage-2
+    // threshold plus CC transitivity, vs ~4% for one 8-bit bucket);
+    // per-band buckets still above the cap are dropped — never a
+    // quadratic blowup, pair volume ≤ bands·cap² per component. Sub-cap
+    // components keep the exact all-pairs join (band/sub pinned to -1),
+    // and the local path applies the identical rule, so both paths
+    // enumerate the same pair set.
     val c1Sizes = s1.groupBy("c1").agg(count(lit(1)).as("c1n"))
     val s1k = s1.join(c1Sizes, Seq("c1"))
-      .withColumn("sub",
-        when(col("c1n") > BlockCap, signBucketUdf(col("emb"))).otherwise(lit(-1)))
-    val subOk = s1k.groupBy("c1", "sub").agg(count(lit(1)).as("subn"))
-      .filter(col("subn") <= BlockCap).select("c1", "sub")
-    val s1c = s1k.join(subOk, Seq("c1", "sub"))
-    val l = s1c.select(col("c1"), col("sub"), col("surface").as("src"), col("emb").as("eA"))
-    val r = s1c.select(col("c1"), col("sub"), col("surface").as("dst"), col("emb").as("eB"))
-    val e2 = l.join(r, Seq("c1", "sub")).filter(col("src") < col("dst"))
+    val s1smallK = s1k.filter(col("c1n") <= BlockCap)
+      .withColumn("band", lit(-1)).withColumn("sub", lit(-1))
+    val s1bigK = s1k.filter(col("c1n") > BlockCap)
+      .withColumn("band", explode(array((0 until SubBands).map(lit): _*)))
+      .withColumn("sub", signBandUdf(col("emb"), col("band")))
+    val s1kb = s1smallK.unionByName(s1bigK)
+    val subOk = s1kb.groupBy("c1", "band", "sub").agg(count(lit(1)).as("subn"))
+      .filter(col("subn") <= BlockCap).select("c1", "band", "sub")
+    val s1c = s1kb.join(subOk, Seq("c1", "band", "sub"))
+    val l = s1c.select(col("c1"), col("band"), col("sub"),
+      col("surface").as("src"), col("emb").as("eA"))
+    val r = s1c.select(col("c1"), col("band"), col("sub"),
+      col("surface").as("dst"), col("emb").as("eB"))
+    val e2 = l.join(r, Seq("c1", "band", "sub")).filter(col("src") < col("dst"))
+      // a pair can collide in several bands: dedup BEFORE the cosine UDF
+      .dropDuplicates("src", "dst")
       .filter(cosDistUdf(col("eA"), col("eB")) < Stage2Threshold)
       .select("src", "dst")
     val cc2 = ConnectedComponents.run(spark,

@@ -270,15 +270,18 @@ object Linker {
       .transform(graft.Ckpt(_))
 
     // candidate-score stats are NIL features (mean/median/stdev,
-    // nilpredictor/main.py:139-152); top-candidate features join along
-    // max_cross: the ranking is ordered by cross_score, so the rank-1
-    // row's cross_score IS the max over the mention's top-k list —
-    // no second pass needed (nilpredictor/main.py:120-131)
+    // nilpredictor/main.py:139-152); top-candidate features join along.
+    // max_bi / max_cross are MAXES OVER THE LIST (nilpredictor/
+    // main.py:120-131), not the rank-1 row's fields: under rerank the
+    // list is ordered by cross_score, so the rank-1 row's bi_score is
+    // whatever bi score the cross-winner happens to have — taking it as
+    // max_bi would understate the feature exactly when the two encoders
+    // disagree. (Under rerank=false the two coincide.)
     val feats = candLists.select(
         col("doc_id"), col("annset"), col("ann_id"),
         col("top_candidate.entity_id").as("top_entity_id"),
-        col("top_candidate.bi_score").as("max_bi"),
-        col("top_candidate.cross_score").as("max_cross"),
+        array_max(transform(col("candidates"), c => c("bi_score"))).as("max_bi"),
+        array_max(transform(col("candidates"), c => c("cross_score"))).as("max_cross"),
         col("top_candidate.jacc").as("jacc"),
         col("top_candidate.lev_sim").as("lev_sim"),
         scoreStatsUdf(transform(col("candidates"), c => c("bi_score"))).as("st"))

@@ -99,9 +99,11 @@ object Ann {
   def signLshTopK(vectors: DataFrame, k: Int, dims: Int = 8): DataFrame = {
     def signBits(from: Int): org.apache.spark.sql.Column =
       (0 until dims).map { j =>
-        // past-the-end coords (short vectors) contribute bit 0: the
-        // `when` condition is null there and falls to `otherwise`
-        when(element_at(col("vec"), from + j + 1) >= 0f, lit(1 << j))
+        // past-the-end coords (short vectors) contribute bit 0. `get` is
+        // 0-based and returns NULL out of bounds even under ANSI mode
+        // (Spark 4 default) — element_at would THROW there, so any
+        // vector shorter than 2*dims would crash the refinement bits.
+        when(get(col("vec"), lit(from + j)) >= 0f, lit(1 << j))
           .otherwise(lit(0))
       }.reduce(_ + _)
     val b = vectors.select(col("id"), col("vec"))

@@ -83,13 +83,19 @@ final case class IceLite(root: String, numBuckets: Int = 0,
 
   private def manifestDirs(id: Int): Seq[String] = manifestEntries(id).map(_._2)
 
-  private def commit(entries: Seq[(Int, String)]): Int = {
+  /** `stampProps`: record the current bucket spec in PROPS. Safe ONLY
+    * when every live entry of the new snapshot was written under the
+    * current spec — i.e. at table creation or after a full rewrite. A
+    * pre-PROPS table's `b<k>:` labels may come from a DIFFERENT spec;
+    * stamping the current one would certify labels mergeInto then
+    * trusts, silently duplicating keys. Until a full rewrite stamps it,
+    * such legacy tables stay PROPS-less and mergeInto/replaceKeys treat
+    * every entry as touched (whole-table COW).
+    */
+  private def commit(entries: Seq[(Int, String)], stampProps: Boolean = false): Int = {
     Files.createDirectories(meta)
-    // first commit records the bucket spec; later commits re-validate via
-    // latestSnapshot below (PROPS missing on a pre-existing table = legacy
-    // table, adopt the current spec — its -1 entries are handled by
-    // mergeInto's always-touched rule)
-    if (!Files.exists(propsFile)) Files.writeString(propsFile, specString)
+    if (!Files.exists(propsFile) && (stampProps || !exists))
+      Files.writeString(propsFile, specString)
     val next = latestSnapshot.getOrElse(0) + 1
     val dirs = entries.map { case (b, d) => if (b < 0) d else s"b$b:$d" }
     val json = dirs.map(d => "\"" + d + "\"").mkString(s"""{"id":$next,"dirs":[""", ",", "]}")
@@ -155,10 +161,10 @@ final case class IceLite(root: String, numBuckets: Int = 0,
   /** Replace the whole table content with df (new snapshot). */
   def overwrite(df: DataFrame): Int = {
     val dir = newDataDir()
-    if (bucketed) commit(writeBuckets(df, dir))
+    if (bucketed) commit(writeBuckets(df, dir), stampProps = true)
     else {
       df.write.mode("overwrite").parquet(s"$root/$dir")
-      commit(Seq((-1, dir)))
+      commit(Seq((-1, dir)), stampProps = true)
     }
   }
 
@@ -195,9 +201,12 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         val touched = srcB.select("_b").distinct().collect().map(_.getInt(0)).toSet
         // legacy unbucketed entries (b = -1, e.g. a table created before
         // bucketing was configured) can hold ANY key: always rewrite them
-        // (their rows land in proper buckets in the new snapshot)
+        // (their rows land in proper buckets in the new snapshot). A
+        // pre-PROPS table's b<k> labels may come from a DIFFERENT spec —
+        // rewrite everything once; the commit then stamps PROPS.
+        val legacy = !Files.exists(propsFile)
         val (touchedEntries, untouchedEntries) =
-          entries.partition { case (b, _) => b < 0 || touched.contains(b) }
+          entries.partition { case (b, _) => legacy || b < 0 || touched.contains(b) }
         val oldTouched: Option[DataFrame] =
           if (touchedEntries.isEmpty) None
           else Some(spark.read.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
@@ -211,7 +220,7 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         val dir = newDataDir()
         val written = writeBuckets(merged, dir)
         srcB.unpersist()
-        commit(untouchedEntries ++ written)
+        commit(untouchedEntries ++ written, stampProps = legacy)
       case Some(target) =>
         val kept = target.join(
           source.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -245,8 +254,11 @@ final case class IceLite(root: String, numBuckets: Int = 0,
           .distinct().withColumn("_b", bucketCol).cache()
         val touched = keysB.select("_b").distinct().collect()
           .map(_.getInt(0)).toSet
+        // same legacy rule as mergeInto: pre-PROPS bucket labels are
+        // untrusted — rewrite everything once, then stamp
+        val legacy = !Files.exists(propsFile)
         val (touchedEntries, untouchedEntries) =
-          entries.partition { case (b, _) => b < 0 || touched.contains(b) }
+          entries.partition { case (b, _) => legacy || b < 0 || touched.contains(b) }
         val oldTouched: Option[DataFrame] =
           if (touchedEntries.isEmpty) None
           else Some(spark.read.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
@@ -259,7 +271,7 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         val dir = newDataDir()
         val written = writeBuckets(merged, dir)
         keysB.unpersist()
-        commit(untouchedEntries ++ written)
+        commit(untouchedEntries ++ written, stampProps = legacy)
       case Some(target) =>
         val allKeys = delKeys.unionByName(source.select(keyCols.map(col): _*)).distinct()
         val kept = target.join(allKeys, keyCols, "left_anti")

@@ -119,4 +119,30 @@ class IceLiteSpec extends SparkTestBase {
     assert(t.read(spark).get.count() == 100)
     assert(t.read(spark).get.filter(col("id") === 7).collect()(0).getString(1) == "X")
   }
+
+  test("pre-PROPS bucketed manifests are rewritten, never trusted") {
+    // simulate a table created before the bucket spec was persisted:
+    // bucketed b<k>: manifest entries exist but _meta/PROPS does not.
+    // Reopening with a DIFFERENT spec must not classify stale buckets as
+    // untouched (that silently duplicates matched keys) — the first
+    // merge rewrites everything and only then stamps the new spec.
+    val root = tmp()
+    val t4 = IceLite(root, 4, Seq("id"))
+    t4.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_meta", "PROPS"))
+
+    val t8 = IceLite(root, 8, Seq("id"))
+    t8.mergeInto(spark, Seq((1, "A")).toDF("id", "v"), Seq("id"))
+    val rows = t8.read(spark).get.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((1, "A"), (2, "b"), (3, "c")),
+      "matched key must be replaced, not duplicated")
+    // the full rewrite stamped the NEW spec; the old spec now fails fast
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_meta", "PROPS")))
+    intercept[IllegalStateException] { IceLite(root, 4, Seq("id")).latestSnapshot }
+    // and subsequent merges under the stamped spec are bucket-scoped again
+    t8.mergeInto(spark, Seq((2, "B")).toDF("id", "v"), Seq("id"))
+    assert(t8.read(spark).get.count() == 3)
+  }
 }

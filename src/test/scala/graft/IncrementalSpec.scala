@@ -144,4 +144,23 @@ class IncrementalSpec extends SparkTestBase {
     Incremental.reannotate(spark, dir, Seq("d2"))
     assert(Incremental.pendingReannotations(spark, dir).isEmpty)
   }
+
+  test("pendingReannotations tolerates all historical lineage marker formats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc-markers").toString
+    val t = Incremental.Tables(dir)
+    // three generations of marker format in one lineage table: bare ids
+    // (earliest), attempt:ids, attempt:snapshot:ids — crash recovery on a
+    // workDir written by older code must parse, not throw
+    t.lineage.append(Seq(
+      (-1, "reannotate_start", "d1,d2"),            // earliest: no attempt
+      (-1, "reannotate", "d1,d2"),                  // ... and its done row
+      (-1, "reannotate_start", "3:d3"),             // attempt:ids (dangling)
+      (-1, "reannotate_start", "5:7:d4,d5"),        // attempt:snap:ids
+      (-1, "reannotate", "5:7:d4,d5")               // ... done
+    ).toDF("batch_id", "stage", "status"))
+    val pending = Incremental.pendingReannotations(spark, dir)
+    assert(pending == Seq(Seq("d3")),
+      s"only the dangling attempt:ids set is pending, got $pending")
+  }
 }

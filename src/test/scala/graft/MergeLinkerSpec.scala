@@ -236,6 +236,33 @@ class MergeLinkerSpec extends SparkTestBase {
     assert(Linker.NilWeights.length == 7)
   }
 
+  test("linker: max_bi under rerank is the LIST max, not the cross-winner's bi") {
+    import graft.core.{InputDoc, Span, SpanOps}
+    import graft.link.Linker
+    import graft.ner.TrieNer
+    // under rerank the candidate list is ordered by cross_score; the
+    // reference LR consumes max(bi) over the top-k list
+    // (nilpredictor/main.py:120-131), which need not be the rank-1 row's
+    // bi_score. Invariant: linked.bi_score == max over the mention's
+    // candidate list.
+    val docs = spark.createDataset(Seq(
+      InputDoc("x", SpanOps.withOffsets(Seq(
+        Span("text", "spark and customer then fast key meets slow part", "", 0))))))
+    val text = Pipeline.docText(spark, docs)
+    val mentions = TrieNer.mentions(spark, docs)
+    val reg = graft.kb.Registry.seed(spark).toDF()
+    val (linked, cands) = Linker.linkWithCandidates(spark, mentions, text, reg, rerank = true)
+    val maxBi = cands.select(col("doc_id"), col("annset"), col("ann_id"),
+        array_max(transform(col("candidates"), c => c("bi_score"))).as("list_max"))
+    val joined = linked.filter(!col("skip"))
+      .join(maxBi, Seq("doc_id", "annset", "ann_id"))
+      .select(col("bi_score"), col("list_max")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"bi_score ${r.getDouble(0)} must equal list max ${r.getDouble(1)}"))
+  }
+
   test("linker: exact-title match links, zero-candidate is NIL, DATE skips") {
     import graft.core.{InputDoc, Span, SpanOps}
     val docs = spark.createDataset(Seq(

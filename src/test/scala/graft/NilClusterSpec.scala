@@ -111,6 +111,32 @@ class NilClusterSpec extends SparkTestBase {
     } finally sys.props.remove("graft.nilcluster.blockCap")
   }
 
+  test("oversize component: banded stage-2 keeps local and distributed identical") {
+    // same chained-component construction as the mega-cluster test: ONE
+    // stage-1 component above the cap. Both paths must fall back to the
+    // SAME banded sign-LSH pair generation, so cluster keys stay equal —
+    // the path-equivalence property must survive the guard.
+    val groups = 8
+    val members = 4
+    val surfs = (0 until groups).flatMap { g =>
+      (0 until members).map(i => f"x$g%d aaaa${g * members + i}%02d") :+
+        f"x$g%d aaaa${(g + 1) * members}%02d"
+    }.distinct
+    sys.props("graft.nilcluster.blockCap") = "5"
+    try {
+      val local = NilCluster.clusterSurfacesLocal(surfs).view.mapValues(_._1).toMap
+      val dist = NilCluster.clusterSurfacesDistributed(spark, surfs.toDF("surface"))
+        .select("surface", "cluster_key").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(dist == local, "banded stage-2 must not diverge between paths")
+      // the banded rule must still MERGE near-dup surfaces inside the
+      // oversize component (an over-selective sub-key would leave them
+      // all separate): some cluster has more than one member
+      assert(local.values.toSeq.distinct.size < surfs.size,
+        "stage 1+2 must merge at least one near-dup pair under the guard")
+    } finally sys.props.remove("graft.nilcluster.blockCap")
+  }
+
   test("end-to-end cluster(): assignments, mode title, deterministic") {
     val mentions = Seq(
       ("d1", "m", 1, "Fast Key", "PRODUCT"),

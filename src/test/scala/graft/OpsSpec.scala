@@ -230,4 +230,16 @@ class OpsSpec extends SparkTestBase {
       case None => sys.props.remove("graft.ann.bucketCap")
     }
   }
+
+  test("ANN sign-LSH accepts vectors shorter than 2*dims (ANSI-safe indexing)") {
+    // bucket2 reads coordinates dims..2*dims-1; a 12-dim vector covers
+    // only 4 of them — under Spark 4's default ANSI mode an element_at
+    // past the end would THROW, so the refinement must use null-safe
+    // indexing (missing coords contribute bit 0)
+    val vecs = (0 until 6).map { i =>
+      (i.toLong, Seq.tabulate(12)(j => if ((i + j) % 3 == 0) -0.2f else 0.3f))
+    }.toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val res = graft.ops.Ann.signLshTopK(vecs, 2)
+    assert(res.count() >= 0) // materializes without INVALID_ARRAY_INDEX
+  }
 }

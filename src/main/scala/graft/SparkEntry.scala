@@ -423,6 +423,19 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rnk")
     }),
 
+    // IVF ANN (scale path beside e2's LSH): deterministic seed centroids
+    // (16 smallest vec_ids), corpus sharded into nearest-centroid lists,
+    // queries probe their 3 nearest lists, exact rescore within — the
+    // whole index structure is SQL-reproducible, so the oracle checks
+    // assignment + probing + ranking end-to-end
+    "e4_ann_ivf" -> ((s, dir) => {
+      val all = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.Ann.ivfTopK(all.filter(col("id") < 10), all, 5,
+          nlist = 16, nprobe = 3)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+
     // element-wise centroid (A3). Floats are quantized to 1e-6 via double
     // arithmetic before summing: float->decimal casts round differently
     // across engines, but double ops are IEEE-identical, so the quantized
@@ -908,6 +921,29 @@ object SparkEntry {
                              c.vec_id ASC) AS rnk
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         WHERE rnk <= 5""",
+    "e4_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings ORDER BY vec_id LIMIT 16),
+         a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                             c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c),
+         assign AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1),
+         p0 AS (SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC,
+                             c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN c WHERE q.vec_id < 10),
+         probe AS (SELECT query_id, qv, cid FROM p0 WHERE rn <= 3)
+         SELECT query_id, neighbor_id, rnk FROM (
+           SELECT p.query_id, s.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY list_cosine_similarity(p.qv, s.embedding) DESC,
+                             s.vec_id ASC) AS rnk
+           FROM probe p JOIN assign s
+             ON s.cid = p.cid AND s.vec_id <> p.query_id)
          WHERE rnk <= 5""",
     "e3_centroids" ->
       """SELECT label, dim,

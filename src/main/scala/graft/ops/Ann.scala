@@ -115,6 +115,53 @@ object Ann {
       .select("query_id", "neighbor_id", "cos", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: every corpus vector is assigned to its
+    * nearest of `nlist` seed centroids (the nlist smallest-id corpus
+    * vectors — IVF over sampled training points without the k-means
+    * refinement, so the index structure is deterministic and exactly
+    * reproducible in SQL for the correctness oracle); each query probes
+    * its `nprobe` nearest centroid lists and rescoring is exact cosine
+    * within the probed lists. Expected scan fraction ~ nprobe/nlist of
+    * the corpus — the pruning FAISS's IVF gives single-node (the
+    * reference uses flat/hnsw indexes, indexer/main.py:300-317; IVF is
+    * the analog that distributes, because lists shard by centroid id).
+    *
+    * Scale shape: centroids are tiny (nlist rows) — broadcast into both
+    * the assignment pass and the probe pass; nearest-centroid is a
+    * map-side-combining argmax (no window, one shuffle keyed by vector
+    * id); the only large join is candidates keyed by centroid id, then
+    * two-stage top-k. A hot list degrades toward the brute-force cost
+    * for the queries probing it (never super-linear); salt via
+    * SkewJoin.saltedJoin if list sizes skew at scale.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 64, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("vec").as("cv"))
+    // nearest centroid per corpus vector; tie-break (cos desc, cid asc)
+    // via argmax over struct(cos, -cid)
+    val assign = corpus.select(col("id"), col("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cosineCol(col("vec"), col("cv")))
+      .groupBy("id")
+      .agg(max_by(struct(col("cid"), col("vec")),
+        struct(col("cos"), (-col("cid")).cast("long"))).as("a"))
+      .select(col("a.cid").as("cid"), col("id").as("neighbor_id"),
+        col("a.vec").as("nv"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val probes = TopK.topKPerKey(
+        q.crossJoin(broadcast(cents))
+          .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv"))),
+        Seq("query_id"), "cos", "cid", nprobe)
+      .select(col("query_id"), col("cid"))
+    val cand = probes.join(q, Seq("query_id"))
+      .join(assign, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosineCol(col("qv"), col("nv")))
+    TopK.topKPerKey(cand, Seq("query_id"), "cos", "neighbor_id", k)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+  }
+
   def lshTopK(vectors: DataFrame, k: Int, planes: Int = 6): DataFrame = {
     val b = vectors.select(col("id"), col("vec"))
       .withColumn("bucket", bucketUdf(col("vec"), lit(planes), lit(0)))

@@ -231,6 +231,32 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ANN IVF: probing all lists equals brute force; pruning stays deterministic") {
+    // deterministic spread-out vectors (no float ties in the interior)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j =>
+        math.sin(i * 1.7 + j * 0.9).toFloat + (if (j == i % 8) 1.5f else 0f)))
+    }.toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val queries = vecs.filter(col("id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe = nlist probes every list -> candidate set = whole corpus
+    // minus self, so IVF must reproduce the exact top-k
+    val exact = rows(graft.ops.Ann.bruteForceTopK(queries, vecs, 4))
+    val ivfAll = rows(graft.ops.Ann.ivfTopK(queries, vecs, 4, nlist = 8, nprobe = 8))
+    assert(ivfAll == exact, "nprobe=nlist IVF must equal brute force")
+    // pruned probing: per-query at most k rows, ranks contiguous from 1,
+    // and two runs agree (deterministic assignment + tie-breaks)
+    val p1 = rows(graft.ops.Ann.ivfTopK(queries, vecs, 4, nlist = 8, nprobe = 2))
+    val p2 = rows(graft.ops.Ann.ivfTopK(queries, vecs, 4, nlist = 8, nprobe = 2))
+    assert(p1 == p2)
+    assert(p1.nonEmpty)
+    p1.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.size <= 4 && g.map(_._3) == (1 to g.size).toSet)
+    }
+  }
+
   test("ANN sign-LSH accepts vectors shorter than 2*dims (ANSI-safe indexing)") {
     // bucket2 reads coordinates dims..2*dims-1; a 12-dim vector covers
     // only 4 of them — under Spark 4's default ANSI mode an element_at

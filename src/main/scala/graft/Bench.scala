@@ -120,7 +120,7 @@ object Bench {
     "q1_agg", "q2_topk_window", "q3_join_agg", "q6_sessionize",
     "q13_interval_overlap", "t1_exact_dedup", "t6_ngram_neardup",
     "t7_minhash_lsh", "t8_simhash", "e1_ann_topk", "e2_ann_lsh",
-    "kg_spans", "kg_sections", "kg_triples")
+    "e4_ann_ivf", "kg_spans", "kg_sections", "kg_triples")
 
   /** The KB-population job benched for scaling: docs (optionally
     * replicated to amortize fixed job overhead) -> full pipeline ->

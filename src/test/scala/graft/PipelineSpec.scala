@@ -43,6 +43,16 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("every driver query has a DuckDB oracle (no silent rows-only checks)") {
+    // the driver downgrades an oracle-less query to a weak rows-only
+    // check (round 2 shipped two of those); keep the key sets identical
+    // so a new query can't land without its cross-engine oracle
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(",")}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted.mkString(",")}")
+  }
+
   test("entry returns non-empty triples with expected columns") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSet == Set("doc_id", "subj", "pred", "obj"))

@@ -204,6 +204,9 @@ object Bench {
     // self-evident in the artifact instead of looking like a plan defect.
     val levelHostCpu = scala.collection.mutable.Map.empty[Int, (Double, Double, Double, Double)]
     @volatile var abortedBy: Option[String] = None
+    // set when the warmup circuit-breaker trips (degraded host): the
+    // remaining ladder levels are skipped so the queries still land
+    @volatile var ladderAborted: Option[String] = None
     val execCores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
     // 6 GiB/worker -> 5 GiB executor heap. COUNTER-INTUITIVE, measured
     // both ways at 160-200k docs: 8 GiB workers ran the same job 2.2x
@@ -239,7 +242,12 @@ object Bench {
       // wall time measures the host, not the plan
       val degraded = levels.exists(l => levelHostCpu.get(l)
         .exists(h => h._2 + h._4 > 0.5 * h._1))
-      val pairs = levels.zip(levels.tail).filter { case (a, b) => b == 4 * a }
+      // drop(1), not .tail: Nil.tail THROWS, and this runs on the
+      // watchdog thread before any level has completed — the round-3
+      // driver run lost its whole artifact to exactly that (the watchdog
+      // died mid-emit, so neither the partial JSON nor the cluster
+      // teardown nor the exit-0 happened, and the driver saw rc=124)
+      val pairs = levels.zip(levels.drop(1)).filter { case (a, b) => b == 4 * a }
       def eff(a: Int, b: Int) = tput(b) / ((b.toDouble / a) * tput(a))
       val pairJson = pairs.map { case (a, b) => s""""eff_${a}_$b":${eff(a, b)}""" }
         .mkString("{", ",", "}")
@@ -254,7 +262,14 @@ object Bench {
       }.getOrElse("")
       val triplesAll = levels.map(levelResults(_)._3).distinct
       val pipeline =
-        if (levels.isEmpty) "{}"
+        if (levels.isEmpty)
+          // no ladder level survived this run (degraded-host breaker):
+          // point the reader at the recorded quiet-window evidence so the
+          // artifact stays self-contained — clearly labeled as a PRIOR
+          // measurement, not this run's
+          """{"note":"ladder skipped on degraded host; quiet-window """ +
+            """scaling evidence recorded in BENCH.md: eff(1->4 executor """ +
+            """JVMs) = 0.96 (1336 -> 5129 docs/s, 440k docs)"}"""
         else s"""{"docs":${levelResults(levels.head)._2},"triples":${triplesAll.head},""" +
           s""""triples_check_equal":${triplesAll.size == 1},"mode":"$mode",""" +
           s""""replicate":$replicate,"levels":$perLevel,"scaling_pairs":$pairJson,""" +
@@ -265,7 +280,8 @@ object Bench {
           // hypervisor's memory reclaim, not the plan.
           s""""host_fault_mbps_at_levels":[${faultSeen.map(v => f"$v%.0f").mkString(",")}],""" +
           s""""host_degraded":$degraded,"primary_pair":"$pairDesc"$effJson}"""
-      val aborted = abortedBy.map(a => s""","aborted":"$a"""").getOrElse("")
+      val aborted = abortedBy.map(a => s""","aborted":"$a"""").getOrElse("") +
+        ladderAborted.map(a => s""","ladder_aborted":"$a"""").getOrElse("")
       s"""{"metric":"total","value":$queriesTotal,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","complete":$done$aborted,"kb_pipeline":$pipeline}"""
     }
@@ -294,8 +310,15 @@ object Bench {
                catch { case _: InterruptedException => false }
       if (ok) {
         abortedBy = Some("wall_budget")
-        emitFinal(buildJson(false))
-        BenchCluster.killAll()
+        // belt-and-braces: NOTHING on this path may prevent the teardown
+        // + exit-0 — an exception here orphans a multi-GiB cluster AND
+        // turns the abort into a driver-side rc=124 with no artifact
+        try emitFinal(buildJson(false))
+        catch { case t: Throwable =>
+          emitFinal(s"""{"metric":"total","value":0,"unit":"sec",""" +
+            s""""complete":false,"aborted":"wall_budget_emit_failed:${t.getClass.getSimpleName}"}""")
+        }
+        try BenchCluster.killAll() catch { case _: Throwable => () }
         Runtime.getRuntime.halt(0)
       }
     }, "graft-bench-watchdog")
@@ -361,27 +384,74 @@ object Bench {
       println(f"[bench] $tag ${(System.nanoTime() - t0) / 1e9}%.1fs load=$load1%.1f")
       r
     }
+    // Degraded-host circuit breaker. The warmup is a FIXED tiny job
+    // (sf0.001, ~60 docs; healthy wall 10-20 s incl. codegen): when it
+    // exceeds this limit the host is in a provisioning/co-tenant storm
+    // (BENCH.md pathology; measured 10-50x task slowdowns with a
+    // borderline 652 MB/s probe), every subsequent ladder level would
+    // crawl the same way, and finishing the ladder would eat the whole
+    // wall budget and leave an EMPTY artifact. Abort the ladder instead
+    // and spend the remaining budget on the per-query-flushed headline
+    // table — partial evidence beats none (the r2/r3 driver lesson).
+    val warmupLimitS =
+      sys.env.getOrElse("SPARK_GRAFT_WARMUP_LIMIT_S", "90").toInt
+    final class HostTooSlow(val sec: Double) extends RuntimeException
+    // healthy main-level walls at the default replicate are ~40-60 s
+    // (L4) / ~120-160 s (L1); a level past this limit is storm-bound and
+    // finishing it would starve the query table of wall budget
+    val mainLimitS =
+      sys.env.getOrElse("SPARK_GRAFT_MAIN_LIMIT_S", "330").toInt
+    /** Run one ladder job with a hard deadline: a timer thread cancels
+      * all Spark jobs at the limit and the abort surfaces as
+      * [[HostTooSlow]]. Measuring after the fact is NOT enough — in the
+      * storm this guards against, the 60-doc warmup itself ran >10 min
+      * (10-50x task slowdown), so a post-hoc check never gets to run.
+      */
+    def guarded[T](s: SparkSession, tag: String, limitS: Int)(f: => T): T = {
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val w0 = System.nanoTime()
+      val timer = new Thread(() => {
+        val interrupted =
+          try { Thread.sleep(limitS * 1000L); false }
+          catch { case _: InterruptedException => true }
+        if (!interrupted) {
+          cancelled.set(true)
+          try s.sparkContext.cancelAllJobs() catch { case _: Throwable => () }
+        }
+      }, s"graft-guard-$tag")
+      timer.setDaemon(true)
+      timer.start()
+      val r =
+        try step(tag)(f)
+        catch {
+          case t: Throwable =>
+            if (cancelled.get()) throw new HostTooSlow((System.nanoTime() - w0) / 1e9)
+            else throw t
+        } finally timer.interrupt()
+      val sec = (System.nanoTime() - w0) / 1e9
+      if (sec > limitS) throw new HostTooSlow(sec)
+      r
+    }
+    def timedLevel(s: SparkSession, l: Int): (Double, Long, Long) = {
+      // warm-up pass at tiny scale so codegen/classloading is excluded
+      guarded(s, s"L$l warmup", warmupLimitS)(
+        kbJob(s, sfDir.replace("sf0.1", "sf0.001"), 1))
+      val t0 = System.nanoTime()
+      val (docs, triples) =
+        guarded(s, s"L$l main", mainLimitS)(kbJob(s, sfDir, replicate))
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, docs, triples)
+    }
     def timedThreads(c: Int): (Double, Long, Long) = {
       val s = session(c)
-      // warm-up pass at tiny scale so codegen/classloading is excluded
-      step(s"L$c warmup")(kbJob(s, sfDir.replace("sf0.1", "sf0.001"), 1))
-      val t0 = System.nanoTime()
-      val (docs, triples) = step(s"L$c main")(kbJob(s, sfDir, replicate))
-      val sec = (System.nanoTime() - t0) / 1e9
-      s.stop()
-      (sec, docs, triples)
+      try timedLevel(s, c) finally s.stop()
     }
     def timedJvms(workers: Int): (Double, Long, Long) = {
       val c = step(s"L$workers cluster-start")(
         BenchCluster.start(workers, execCores, execMemG))
       try {
         val s = BenchCluster.session(c, workers, execCores, execMemG - 1)
-        step(s"L$workers warmup")(kbJob(s, sfDir.replace("sf0.1", "sf0.001"), 1))
-        val t0 = System.nanoTime()
-        val (docs, triples) = step(s"L$workers main")(kbJob(s, sfDir, replicate))
-        val sec = (System.nanoTime() - t0) / 1e9
-        s.stop()
-        (sec, docs, triples)
+        try timedLevel(s, workers) finally s.stop()
       } finally c.shutdown()
     }
     def timed(c: Int): (Double, Long, Long) =
@@ -431,7 +501,16 @@ object Bench {
     if (onlyLevel.isDefined) {
       val lvl = onlyLevel.get.toInt
       val fault = probeFaultMBps()
-      levelResults(lvl) = timed(lvl)
+      try levelResults(lvl) = timed(lvl)
+      catch {
+        case h: HostTooSlow =>
+          println(f"[bench] L$lvl ladder-abort: warmup ${h.sec}%.0fs > ${warmupLimitS}s")
+          levelResults(lvl) = (-1.0, 0L, 0L)
+        case t: Throwable =>
+          // even a cluster-start failure must not cost the artifact
+          println(s"[bench] L$lvl failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          levelResults(lvl) = (-1.0, 0L, 0L)
+      }
       runQueries()
       val (sec, docs, triples) = levelResults(lvl)
       emitFinal(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,""" +
@@ -462,28 +541,61 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().split("\\s+").drop(1).take(8).map(_.toLong)
       catch { case _: Throwable => Array.fill(8)(0L) }
-    def runLevel(l: Int): Unit = {
+    def runLevel(l: Int): Unit = if (ladderAborted.isEmpty) {
       awaitQuiet()
       val fault = probeFaultMBps()
       faultSeen += fault
       println(f"[bench] L$l host_fault_mbps=$fault%.0f")
       val c0 = hostCpu()
-      val r = timed(l)
-      val d = hostCpu().zip(c0).map { case (a, b) => (a - b) / 100.0 }
-      val cpu = (d(0), d(2), d(3), d(7))
-      println(f"[bench] L$l host_cpu_cores_s user=${d(0)}%.0f sys=${d(2)}%.0f " +
-        f"idle=${d(3)}%.0f steal=${d(7)}%.0f")
-      if (levelResults.get(l).forall(_._1 > r._1)) {
-        levelResults(l) = r
-        levelHostCpu(l) = cpu
+      try {
+        val r = timed(l)
+        val d = hostCpu().zip(c0).map { case (a, b) => (a - b) / 100.0 }
+        val cpu = (d(0), d(2), d(3), d(7))
+        println(f"[bench] L$l host_cpu_cores_s user=${d(0)}%.0f sys=${d(2)}%.0f " +
+          f"idle=${d(3)}%.0f steal=${d(7)}%.0f")
+        if (levelResults.get(l).forall(_._1 > r._1)) {
+          levelResults(l) = r
+          levelHostCpu(l) = cpu
+        }
+      } catch {
+        case h: HostTooSlow =>
+          // storm confirmed by a REAL job (the probe alone missed it once:
+          // 652 MB/s yet 10-50x task slowdowns): stop burning budget on
+          // ladder levels and let the queries use what remains
+          ladderAborted = Some(f"degraded_host:warmup_${h.sec}%.0fs")
+          println(s"[bench] L$l ladder-abort: ${ladderAborted.get}")
+        case t: Throwable =>
+          // a broken level (cluster-start failure, driver OOM) must not
+          // cost the query table — skip the ladder, keep going
+          ladderAborted = Some(s"level_failed:${t.getClass.getSimpleName}")
+          println(s"[bench] L$l ladder-abort: ${ladderAborted.get}: ${t.getMessage}")
       }
       flush()
     }
     val mainStart = System.nanoTime()
+    // ANY escape hatch below must still leave the final artifact: an
+    // uncaught exception (cluster-start failure, OOM on the driver side)
+    // previously killed main with no stdout JSON line — the driver then
+    // records parsed:null even though per-phase flushes hit the file.
+    try {
     (1 to reps).foreach(_ => levels.foreach(runLevel))
     // queries land BEFORE any retry spends wall-clock: the primary pair
     // + query table are the round's evidence; retries only improve it.
     runQueries()
+    // Second-chance ladder: the host's degraded windows are EPISODIC
+    // (minutes). If the breaker tripped before the queries, the ~2-4 min
+    // query table doubled as a cool-down — re-probe and, if the host
+    // recovered, spend remaining budget on one full ladder pass (a fresh
+    // trip inside it re-arms the breaker and re-skips the rest).
+    if (ladderAborted.isDefined &&
+        (System.nanoTime() - mainStart) / 1e9 < wallBudgetS - 280) {
+      val f = probeFaultMBps()
+      println(f"[bench] ladder second-chance gate host_fault_mbps=$f%.0f")
+      if (f > 300) {
+        ladderAborted = None
+        levels.foreach(runLevel)
+      }
+    }
     // Noise-shortfall retry. The host's co-tenant bursts swing identical
     // runs +-35%, so a single-shot pair is a coin flip: one burst inside
     // either level's window corrupts the ratio (measured eff 0.14-0.96
@@ -505,8 +617,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_RETRY_BELOW_EFF", "0.85").toDouble
     def elapsedS = (System.nanoTime() - mainStart) / 1e9
     def tput(l: Int) = levelResults(l)._2 / levelResults(l)._1
-    for ((a, b) <- levelsSorted.zip(levelsSorted.tail)
-           .filter { case (x, y) => y == 4 * x }.take(1)) {
+    for ((a, b) <- levelsSorted.zip(levelsSorted.drop(1))
+           .filter { case (x, y) =>
+             // only retry a pair BOTH of whose levels completed (the
+             // degraded-host circuit breaker can skip levels entirely)
+             y == 4 * x && levelResults.contains(x) && levelResults.contains(y)
+           }.take(1) if ladderAborted.isEmpty) {
       var tries = 0
       // host must be able to PROVIDE memory before a retry is worth its
       // wall-clock: a degraded host (fault probe under ~300 MB/s) will
@@ -528,6 +644,12 @@ object Bench {
       }
     }
     emitFinal(buildJson(true))
+    } catch { case t: Throwable =>
+      abortedBy = Some(s"exception:${t.getClass.getSimpleName}")
+      t.printStackTrace()
+      try emitFinal(buildJson(false)) catch { case _: Throwable => () }
+      try BenchCluster.killAll() catch { case _: Throwable => () }
+    }
   }
 
   /** Driver contract: the result JSON must be machine-parseable from the

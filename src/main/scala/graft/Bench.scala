@@ -93,6 +93,16 @@ object Bench {
     mb / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** /proc/stat line 1, jiffies: user nice sys idle iowait irq softirq
+    * steal. Deltas across a phase give the host-wide CPU split — the
+    * memory-provisioning storm shows up as sys >> user, co-tenant load
+    * as steal.
+    */
+  private def hostCpu(): Array[Long] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().split("\\s+").drop(1).take(8).map(_.toLong)
+    catch { case _: Throwable => Array.fill(8)(0L) }
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -195,6 +205,11 @@ object Bench {
     // phase: a run killed by a driver timeout still leaves evidence.
     var queriesJson: Option[String] = None
     var queriesTotal = 0.0
+    // per-query minimum across passes + per-pass host-health stamps (the
+    // query analog of the ladder's host_cpu/probe fields — see runQueries)
+    val bestQueries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val queryPassJson = scala.collection.mutable.ArrayBuffer.empty[String]
+    val queryPassDegraded = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     val levelResults = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
     val loadSeen = scala.collection.mutable.ArrayBuffer.empty[Double]
     val faultSeen = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -282,7 +297,12 @@ object Bench {
           s""""host_degraded":$degraded,"primary_pair":"$pairDesc"$effJson}"""
       val aborted = abortedBy.map(a => s""","aborted":"$a"""").getOrElse("") +
         ladderAborted.map(a => s""","ladder_aborted":"$a"""").getOrElse("")
-      s"""{"metric":"total","value":$queriesTotal,"unit":"sec","queries":$qs,""" +
+      // queries_degraded is a one-glance verdict on the KEPT table: true
+      // only when EVERY pass ran storm-bound (a single healthy pass makes
+      // the per-query minimums trustworthy)
+      val qHealth = s""","queries_passes":${queryPassJson.mkString("[", ",", "]")},""" +
+        s""""queries_degraded":${queryPassDegraded.nonEmpty && queryPassDegraded.forall(identity)}"""
+      s"""{"metric":"total","value":$queriesTotal,"unit":"sec","queries":$qs$qHealth,""" +
         s""""sf":"$sfDir","complete":$done$aborted,"kb_pipeline":$pipeline}"""
     }
     def flush(): Unit =
@@ -329,30 +349,52 @@ object Bench {
     // Runs AFTER the scaling ladder (r3: two rounds of driver timeouts
     // taught that the gate-critical scaling pair must land in
     // BENCH_LOCAL.json before anything optional runs).
+    //
+    // Health-stamped like the ladder levels: the 2026-08-18 storm ran the
+    // same query set 6-12x slower (t6 8.5 -> 101 s) with NOTHING in the
+    // artifact marking the table as storm-bound — a reader comparing it
+    // against an earlier round would diagnose a 10x regression that never
+    // happened. Each pass records the pre-pass fault probe + the
+    // /proc/stat CPU split across the pass, and the kept table is the
+    // per-query MINIMUM across passes (min-of-N under additive noise,
+    // same estimator the ladder retries use).
     def runQueries(): Unit = if (!skipQueries) {
       // the ladder auto-sets graft.ckpt.level=disk for multi-executor
       // runs; the query table is a single local[k] JVM and must keep the
       // MEMORY_AND_DISK_SER default or its timings stop being
       // like-for-like with earlier rounds' query baselines
       val ladderCkpt = sys.props.remove("graft.ckpt.level")
+      val fault = probeFaultMBps()
+      val c0 = hostCpu()
+      val t0 = System.nanoTime()
       val s1 = session(cpus)
       // warm-up: parquet footer reads + codegen
       SparkEntry.queries("q1_agg")(s1, sfDir).count()
       // flush after EVERY query: a wall-budget abort mid-loop keeps the
       // timings already measured (the 2026-08-17 degraded-window run lost
       // its whole query table to an abort on the later queries)
-      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       headline.foreach { name =>
-        val t0 = System.nanoTime()
+        val q0 = System.nanoTime()
         try SparkEntry.queries(name)(s1, sfDir).count()
         catch { case _: Throwable => -1L }
-        results += (name -> (System.nanoTime() - t0) / 1e9)
-        queriesJson = Some(results.map { case (k, v) => "\"" + k + "\":" + v }
+        val sec = (System.nanoTime() - q0) / 1e9
+        if (bestQueries.get(name).forall(_ > sec)) bestQueries(name) = sec
+        queriesJson = Some(bestQueries.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}"))
-        queriesTotal = results.map(_._2).sum
+        queriesTotal = bestQueries.values.sum
         flush()
       }
       s1.stop()
+      val d = hostCpu().zip(c0).map { case (a, b) => (a - b) / 100.0 }
+      val passSec = (System.nanoTime() - t0) / 1e9
+      queryPassDegraded += (d(2) + d(7) > 0.5 * d(0))
+      queryPassJson += f"""{"sec":$passSec%.1f,"host_fault_mbps":$fault%.0f,""" +
+        f""""host_cpu_cores_s":{"user":${d(0)}%.0f,"sys":${d(2)}%.0f,""" +
+        f""""idle":${d(3)}%.0f,"steal":${d(7)}%.0f},""" +
+        s""""degraded":${queryPassDegraded.last}}"""
+      println(f"[bench] queries pass ${queryPassJson.length} $passSec%.1fs " +
+        f"fault=$fault%.0f user=${d(0)}%.0f sys=${d(2)}%.0f steal=${d(7)}%.0f")
+      flush()
       // restore: retries may still run ladder levels after the queries
       ladderCkpt.foreach(v => sys.props("graft.ckpt.level") = v)
     }
@@ -536,11 +578,6 @@ object Bench {
         if (mode == "threads") "2,8,32" else "4,1")
       .split(",").map(_.trim.toInt).toSeq
     val levelsSorted = levels.sorted
-    // /proc/stat line 1, jiffies: user nice sys idle iowait irq softirq steal
-    def hostCpu(): Array[Long] =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
-        .linesIterator.next().split("\\s+").drop(1).take(8).map(_.toLong)
-      catch { case _: Throwable => Array.fill(8)(0L) }
     def runLevel(l: Int): Unit = if (ladderAborted.isEmpty) {
       awaitQuiet()
       val fault = probeFaultMBps()
@@ -642,6 +679,20 @@ object Bench {
         if (victim == a && elapsedS > retryDeadlineS - 130) tries = 3
         else runLevel(victim)
       }
+    }
+    // Second-chance queries: if EVERY pass so far ran storm-bound (the
+    // 2026-08-18 morning storm inflated the table 6-12x) and the host
+    // has since recovered, spend remaining budget on one more pass — the
+    // per-query minimums then come from the healthy window, and the
+    // degraded passes remain recorded in queries_passes. Bounded: probe
+    // gate (never re-measures a still-sick host) + wall check (a healthy
+    // pass is ~40-60 s; the watchdog still bounds the worst case).
+    if (!skipQueries && queryPassDegraded.nonEmpty &&
+        queryPassDegraded.forall(identity) &&
+        (System.nanoTime() - mainStart) / 1e9 < wallBudgetS - 150) {
+      val f = probeFaultMBps()
+      println(f"[bench] queries second-chance gate host_fault_mbps=$f%.0f")
+      if (f > 300) runQueries()
     }
     emitFinal(buildJson(true))
     } catch { case t: Throwable =>

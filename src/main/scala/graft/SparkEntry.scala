@@ -397,6 +397,14 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairs(sh, 3)
     }),
 
+    // near-dup CANONICALIZATION: pairs chain, so keep/drop is decided per
+    // connected component of the pair graph; canonical = min doc id.
+    // Oracled end-to-end (DuckDB recursive-CTE transitive closure).
+    "t10_dedup_canon" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
+      graft.ops.Dedup.canonicalize(s, graft.ops.Dedup.minhashLshPairs(sh, 0.8))
+    }),
+
     // SCALE path ships: banded sign-LSH candidates + exact verify (the
     // O(n^2) cross join stays a test-only oracle in OpsSpec). The DuckDB
     // oracle mirrors the banding exactly, so recall is checked too.
@@ -873,6 +881,30 @@ object SparkEntry {
          FROM bits x JOIN bits y ON x.i = y.i AND x.doc_id < y.doc_id
          GROUP BY 1, 2
          HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3""",
+    // transitive closure of the exact-Jaccard pair graph (the LSH+verify
+    // pair set equals the exact set at threshold 0.8 — t7's own oracle),
+    // canonical = min reachable id; checks the Spark CC end-to-end
+    "t10_dedup_canon" ->
+      """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t)-2)]) AS shingle
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         shared AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a, b FROM shared
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
+         SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""",
     "t9_embed_neardup" ->
       """WITH b AS (
            SELECT vec_id, band,

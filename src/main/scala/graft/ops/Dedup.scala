@@ -191,6 +191,25 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
+  /** Canonical representative per near-duplicate cluster — the step a
+    * training-data pipeline actually runs AFTER pair generation: near-dup
+    * pairs chain (a~b, b~c with a,c not directly paired), so keep/drop
+    * must be decided per connected COMPONENT of the pair graph, not per
+    * pair (dropping one side of every pair over-deletes chains and can
+    * drop every member of a triangle). Canonical = min doc id in the
+    * component (deterministic, partitioning-independent). Output:
+    * (doc_id, canonical_id) for every doc in at least one pair; the
+    * keep/drop policy downstream is `keep where doc_id = canonical_id`
+    * (docs with no pairs never enter the frame and are implicitly kept).
+    * Scale: iterated min-label propagation over the PAIR set — cost is
+    * bounded by pair volume and component diameter, never corpus^2.
+    */
+  def canonicalize(spark: SparkSession, pairs: DataFrame): DataFrame =
+    graft.cluster.ConnectedComponents.run(spark,
+      pairs.select(col("a").as("id")).union(pairs.select(col("b").as("id"))),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+
   /** Embedding-cosine near-dup pairs, EXACT variant: block-nested join.
     * O(n^2) — test-oracle scope only (below ~10^4 vectors); the shipping
     * path is [[signLshPairs]].

@@ -130,6 +130,18 @@ class OpsSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("canonicalize resolves chained near-dup pairs per component") {
+    // chain 1~2, 2~3 (1 and 3 NOT directly paired) + isolated pair 7~9:
+    // per-pair keep/drop would over-delete the chain; per-component
+    // canonical keeps exactly one doc per group
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val canon = Dedup.canonicalize(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // kept set = one representative per component
+    assert(canon.filter { case (d, c) => d == c }.keySet == Set(1L, 7L))
+  }
+
   test("shingles: docs shorter than n tokens yield no shingles (no crash)") {
     val docs = Seq(
       (1L, "ab"),                // 1 token  < n=3

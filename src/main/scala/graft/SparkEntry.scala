@@ -343,6 +343,29 @@ object SparkEntry {
           col("bytes_len"))
     }),
 
+    // aspect-preserving resize to fit 256x256 (exact integer math so the
+    // oracle reproduces it bit-for-bit)
+    "kg_media_resized" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaRows(
+        s, graft.fixtures.Corpus.inputDocs(s, dir))
+      val feats = graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+      graft.multimodal.Multimodal.resizePlan(feats, 256, 256)
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"),
+          col("out_width"), col("out_height"), col("out_bytes"))
+    }),
+
+    // every-10th-frame sampling over the decoded frame counts
+    "kg_media_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.Multimodal.mediaRows(
+        s, graft.fixtures.Corpus.inputDocs(s, dir))
+      val feats = graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+      graft.multimodal.Multimodal.sampleFrames(feats, 10)
+        .select(col("doc_id").cast("long").as("doc_id"), col("media_ref"),
+          col("frame_idx"))
+    }),
+
     // ==== text analysis ==================================================
     "t2_tokstats" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -651,6 +674,59 @@ object SparkEntry {
                 CAST((640 + (nv*37) % 1280) * (360 + (nv*73) % 720) * 3 *
                      (CASE WHEN media_kind = 'video' THEN 24 + nv % 1000 ELSE 1 END) AS BIGINT) AS bytes_len
          FROM n""",
+    "kg_media_resized" ->
+      """WITH m AS (
+           SELECT doc_id, 'media://img/' || doc_id AS media_ref,
+                  'image' AS media_kind
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 'media://vid/' || doc_id, 'video'
+           FROM documents WHERE doc_id % 5 = 0),
+         n AS (
+           SELECT doc_id, media_ref, media_kind,
+                  list_reduce([CAST(ascii(substring(CAST(doc_id AS VARCHAR),
+                                CAST(i AS INT), 1)) AS BIGINT)
+                               for i in generate_series(1, length(CAST(doc_id AS VARCHAR)))],
+                              (a, c) -> a * 31 + c) AS nv
+           FROM m),
+         f AS (
+           SELECT doc_id, media_ref,
+                  CAST(640 + (nv*37) % 1280 AS INT) AS width,
+                  CAST(360 + (nv*73) % 720 AS INT) AS height,
+                  CAST(CASE WHEN media_kind = 'video' THEN 24 + nv % 1000 ELSE 1 END AS INT) AS n_frames
+           FROM n),
+         r AS (
+           SELECT doc_id, media_ref, n_frames,
+                  CAST(CASE WHEN width >= height THEN 256
+                            ELSE (width * 256) // height END AS INT) AS out_width,
+                  CAST(CASE WHEN width >= height THEN (height * 256) // width
+                            ELSE 256 END AS INT) AS out_height
+           FROM f)
+         SELECT doc_id, media_ref, out_width, out_height,
+                CAST(out_width AS BIGINT) * out_height * 3 * n_frames AS out_bytes
+         FROM r""",
+    "kg_media_frames" ->
+      """WITH m AS (
+           SELECT doc_id, 'media://img/' || doc_id AS media_ref,
+                  'image' AS media_kind
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 'media://vid/' || doc_id, 'video'
+           FROM documents WHERE doc_id % 5 = 0),
+         n AS (
+           SELECT doc_id, media_ref, media_kind,
+                  list_reduce([CAST(ascii(substring(CAST(doc_id AS VARCHAR),
+                                CAST(i AS INT), 1)) AS BIGINT)
+                               for i in generate_series(1, length(CAST(doc_id AS VARCHAR)))],
+                              (a, c) -> a * 31 + c) AS nv
+           FROM m),
+         f AS (
+           SELECT doc_id, media_ref,
+                  CAST(CASE WHEN media_kind = 'video' THEN 24 + nv % 1000 ELSE 1 END AS INT) AS n_frames
+           FROM n)
+         SELECT doc_id, media_ref,
+                CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT) AS frame_idx
+         FROM f""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.InputDoc
 
@@ -63,5 +63,38 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Aspect-preserving resize plan to fit (targetW, targetH): the
+    * binding dimension becomes the target, the other scales by the same
+    * ratio in EXACT integer math (`div` — a float scale factor rounds
+    * differently across engines and would break the oracle). Pure column
+    * transform over the features frame (codegen, no shuffle); a real
+    * deployment hands (media_ref, out_width, out_height) to the codec's
+    * resize kernel inside the same batched decode stage.
+    */
+  def resizePlan(features: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    // width is the binding constraint iff aspect w/h >= targetW/targetH
+    val widthLimited: Column = col("width") * targetH >= col("height") * targetW
+    features
+      .withColumn("out_width",
+        when(widthLimited, lit(targetW))
+          .otherwise(expr(s"(width * $targetH) div height").cast("int")))
+      .withColumn("out_height",
+        when(widthLimited, expr(s"(height * $targetW) div width").cast("int"))
+          .otherwise(lit(targetH)))
+      .withColumn("out_bytes",
+        col("out_width").cast("long") * col("out_height") * 3 * col("n_frames"))
+  }
+
+  /** Frame-sampling stage: every `everyN`-th frame index of each medium
+    * (images have n_frames = 1 and emit frame 0). A pure generator over
+    * the decoded frame count — narrow, no shuffle; the per-frame decode
+    * that would follow batches exactly like [[extractFeatures]].
+    */
+  def sampleFrames(features: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    features.select(col("doc_id"), col("media_ref"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
   }
 }

@@ -14,7 +14,8 @@ object DevExplain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Seq("q1_agg", "q3_join_agg", "q8_pagination", "t6_ngram_neardup",
-      "e1_ann_topk", "kg_sections").foreach { q =>
+      "e1_ann_topk", "kg_sections", "t10_dedup_canon",
+      "kg_media_resized", "kg_media_frames").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

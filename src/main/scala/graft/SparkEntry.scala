@@ -403,11 +403,13 @@ object SparkEntry {
     }),
 
     // ==== near-duplicate detection =======================================
+    // EXACT Jaccard via prefix filtering (TokenJoin/PPJoin family):
+    // lossless recall, and stop-shingles never enter the prefix join
     "t6_ngram_neardup" -> ((s, dir) => {
-      // cache: the pair join + two size joins would otherwise re-explode
-      // the shingles three times (three parquet scans at 100 TB)
+      // cache: the df/size aggregates, prefix join and verify join would
+      // otherwise re-explode the shingles (multiple parquet scans at 100 TB)
       val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
-      graft.ops.Dedup.ngramJaccardPairs(sh, 0.8)
+      graft.ops.Dedup.prefixJaccardPairs(sh, 0.8)
     }),
 
     "t7_minhash_lsh" -> ((s, dir) => {
@@ -905,14 +907,14 @@ object SparkEntry {
                     len(list_filter(t, x -> x IN ('le','la','et','les'))) * 1.0 / greatest(len(t),1) AS s_fr
              FROM (SELECT lang, string_split_regex(lower(text), '\s+') AS t FROM documents)))
          GROUP BY lang, pred_lang""",
+    // pure exact Jaccard over FULL shingle sets: the prefix-filtered
+    // Spark plan is lossless, so the oracle needs no candidate pruning
+    // mirror at all (the old df<=1000 cap redefined the metric; gone)
     "t6_ngram_neardup" ->
-      """WITH sh_all AS (
+      """WITH sh AS (
            SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
                   for i in generate_series(1, len(t)-2)]) AS shingle
            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
-         sh AS (
-           SELECT * FROM sh_all WHERE shingle IN (
-             SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 1000)),
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
          shared AS (
            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared

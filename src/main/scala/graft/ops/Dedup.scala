@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import scala.util.hashing.MurmurHash3
 
 /** Deduplication operators for web-scale training-data curation:
@@ -108,15 +109,15 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Full MinHash+LSH near-dup: LSH candidates verified with exact
-    * shingle Jaccard (false positives removed; result identical to the
-    * exact ngramJaccardPairs for thresholds where LSH recall ~1).
+  /** Exact-Jaccard verification of candidate pairs (a, b) over the FULL
+    * shingle sets — the shared verify stage of the MinHash and
+    * prefix-filter paths. Shuffle volume is bounded by candidate count
+    * times per-doc shingle count, never corpus^2.
     */
-  def minhashLshPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(sh))
+  private def verifyJaccard(sh: DataFrame, cands: DataFrame,
+                            threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("a"), col("shingle"))
-    val shared = cands.join(a, Seq("a"))
+    val shared = cands.join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
     shared
@@ -127,6 +128,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** Full MinHash+LSH near-dup: LSH candidates verified with exact
+    * shingle Jaccard (false positives removed; result identical to the
+    * exact ngramJaccardPairs for thresholds where LSH recall ~1).
+    */
+  def minhashLshPairs(sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(sh, lshCandidates(minhashSignatures(sh)), threshold)
+
+  /** Candidate pairs under PREFIX FILTERING (the TokenJoin / PPJoin
+    * family — PAPERS.md): order each doc's shingles rarest-first by
+    * global document frequency; two sets with Jaccard >= t MUST share a
+    * shingle among each one's first n - ceil(t*n) + 1 (pigeonhole over
+    * the canonical order), so self-joining only those PREFIX shingles is
+    * lossless. A stop-shingle shared by 10^6 docs is the most FREQUENT,
+    * lands at the back of every ordering, and never enters a prefix
+    * unless a doc has almost nothing rarer — the skew that motivated the
+    * [[HotShingleDf]] cap disappears without changing semantics. The
+    * length filter (min size >= t * max size, a Jaccard necessary
+    * condition) prunes cross-size pairs before the distinct.
+    */
+  def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val prefix = sh.join(df, Seq("shingle"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + lit(1))
+      .select(col("doc_id"), col("nsh"), col("shingle"))
+    prefix.select(col("doc_id").as("a"), col("nsh").as("na"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("b"), col("nsh").as("nb"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .filter(greatest(col("na"), col("nb")) * threshold <= least(col("na"), col("nb")))
+      .select("a", "b").distinct()
+  }
+
+  /** EXACT n-gram Jaccard >= threshold at scale: prefix-filtered
+    * candidates + exact verification. Unlike [[ngramJaccardPairs]]'s df
+    * cap (which redefines Jaccard over rare shingles), this is the true
+    * Jaccard over FULL shingle sets with provably complete recall — the
+    * preferred shipping path.
+    */
+  def prefixJaccardPairs(sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
 
   /** Per-shingle 64-bit projection = the first 16 hex nibbles of
     * md5(shingle). md5 is available bit-identically in Spark AND DuckDB,

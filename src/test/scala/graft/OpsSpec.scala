@@ -130,6 +130,42 @@ class OpsSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered Jaccard pairs equal the uncapped exact join") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),
+      (3L, "z y x w v u t s r q p o n m l k"),
+      (4L, "a b c d e f g h i j"),
+      (5L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.ngramJaccardPairs(sh, t, maxDf = Int.MaxValue)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.prefixJaccardPairs(sh, t)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pref == exact, s"threshold $t: prefix filtering must be lossless")
+    }
+  }
+
+  test("prefix filter keeps stop-shingles out of the candidate join") {
+    // 40 docs share a stop-shingle; only docs 1/2 are true near-dups.
+    // An all-shingle self-join would generate 780 candidate pairs
+    // through the stop-shingle alone; the prefix join generates only
+    // pairs sharing a RARE prefix shingle.
+    val stop = "x y z"
+    val docs = ((1L, s"$stop a b c d e f g h") +:
+      (2L, s"$stop a b c d e f g q") +:
+      (3 to 40).map(i => (i.toLong, s"$stop u$i v$i w$i t$i"))).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val cands = Dedup.prefixCandidates(sh, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.size < 10, s"stop-shingle must not fan out pairs: $cands")
+    val pairs = Dedup.prefixJaccardPairs(sh, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("canonicalize resolves chained near-dup pairs per component") {
     // chain 1~2, 2~3 (1 and 3 NOT directly paired) + isolated pair 7~9:
     // per-pair keep/drop would over-delete the chain; per-component

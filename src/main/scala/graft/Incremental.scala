@@ -95,59 +95,75 @@ object Incremental {
 
     (0 until numBatches).foreach { b =>
       if (!done.contains(b) && ran < upToBatch) {
-        val t0 = System.nanoTime()
         val batchDocs = batched.filter(col("batch_id") === b)
           .drop("batch_id").as[InputDoc]
-
-        // Pin the registry snapshot FIRST (crash idempotency): a replay
-        // of this batch must see the registry as of batch start, not the
-        // half-merged state a crashed attempt left behind.
-        val snapId = pinned.getOrElse(b, {
-          val id = t.registry.latestSnapshot.get
-          t.lineage.append(Seq((b, "registry_snapshot", id.toString))
-            .toDF("batch_id", "stage", "status"))
-          id
-        })
-        val registry = t.registry.readSnapshot(spark, snapId).cache()
-
-        val res = Pipeline.run(spark, batchDocs, registry)
-
-        t.documents.mergeInto(spark, batchDocs.toDF(), Seq("doc_id"))
-        t.mentions.mergeInto(spark,
-          res.linked.select("doc_id", "annset", "ann_id", "mention_type",
-            "start", "end", "mention", "skip", "entity_id", "title",
-            "entity_type", "bi_score", "nil_score", "is_nil", "url", "name"),
-          Seq("doc_id", "annset", "ann_id"))
-        t.candidates.mergeInto(spark, res.candidates,
-          Seq("doc_id", "annset", "ann_id"))
-        t.triples.mergeInto(spark, res.triples,
-          Seq("doc_id", "subj", "pred", "obj"))
-        t.registry.mergeInto(spark, res.newEntities, Seq("id", "indexer"))
-
-        // one fused counting job instead of four eager .count()s — the
-        // per-batch serial driver fraction is the scaling bottleneck
-        val counts = Seq(
-          batchDocs.toDF().select(lit("n_docs").as("metric")),
-          res.linked.select(lit("n_mentions").as("metric")),
-          res.triples.select(lit("n_triples").as("metric")),
-          res.newEntities.select(lit("n_new_entities").as("metric")))
-          .reduce(_ unionByName _)
-          .groupBy("metric").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val wallMs = (System.nanoTime() - t0) / 1e6
-
-        t.metrics.append((Seq("n_docs", "n_mentions", "n_triples",
-            "n_new_entities").map(k => (b, k, counts.getOrElse(k, 0L).toDouble))
-          :+ ((b, "wall_ms", wallMs)))
-          .toDF("batch_id", "metric", "value"))
-        // lineage LAST: commit point for resume
-        t.lineage.append(Seq((b, "pipeline", "done")).toDF("batch_id", "stage", "status"))
-        registry.unpersist()
+        processBatch(spark, t, batchDocs, b, pinned.get(b))
         ran += 1
       }
     }
     batched.unpersist()
     t
+  }
+
+  /** One micro-batch of KB population against `t`: pin the registry
+    * snapshot, run the pipeline, MERGE results, append metrics, and
+    * commit the lineage "done" row LAST (the resume point). Shared by
+    * the batch loop above and the Structured Streaming front-end
+    * ([[graft.streaming.StreamKb.populate]]) — the crash/replay protocol
+    * is identical: a replay of batch `b` (foreachBatch re-invocation or
+    * loop resume) is skipped if its done row exists, and otherwise
+    * re-runs against the PINNED registry snapshot, making the keyed
+    * MERGEs byte-identical to an uninterrupted run.
+    */
+  def processBatch(spark: SparkSession, t: Tables, batchDocs: Dataset[InputDoc],
+                   b: Int, pinnedSnap: Option[Int]): Unit = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    // Pin the registry snapshot FIRST (crash idempotency): a replay
+    // of this batch must see the registry as of batch start, not the
+    // half-merged state a crashed attempt left behind.
+    val snapId = pinnedSnap.getOrElse {
+      val id = t.registry.latestSnapshot.get
+      t.lineage.append(Seq((b, "registry_snapshot", id.toString))
+        .toDF("batch_id", "stage", "status"))
+      id
+    }
+    val registry = t.registry.readSnapshot(spark, snapId).cache()
+
+    val res = Pipeline.run(spark, batchDocs, registry)
+
+    t.documents.mergeInto(spark, batchDocs.toDF(), Seq("doc_id"))
+    t.mentions.mergeInto(spark,
+      res.linked.select("doc_id", "annset", "ann_id", "mention_type",
+        "start", "end", "mention", "skip", "entity_id", "title",
+        "entity_type", "bi_score", "nil_score", "is_nil", "url", "name"),
+      Seq("doc_id", "annset", "ann_id"))
+    t.candidates.mergeInto(spark, res.candidates,
+      Seq("doc_id", "annset", "ann_id"))
+    t.triples.mergeInto(spark, res.triples,
+      Seq("doc_id", "subj", "pred", "obj"))
+    t.registry.mergeInto(spark, res.newEntities, Seq("id", "indexer"))
+
+    // one fused counting job instead of four eager .count()s — the
+    // per-batch serial driver fraction is the scaling bottleneck
+    val counts = Seq(
+      batchDocs.toDF().select(lit("n_docs").as("metric")),
+      res.linked.select(lit("n_mentions").as("metric")),
+      res.triples.select(lit("n_triples").as("metric")),
+      res.newEntities.select(lit("n_new_entities").as("metric")))
+      .reduce(_ unionByName _)
+      .groupBy("metric").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wallMs = (System.nanoTime() - t0) / 1e6
+
+    t.metrics.append((Seq("n_docs", "n_mentions", "n_triples",
+        "n_new_entities").map(k => (b, k, counts.getOrElse(k, 0L).toDouble))
+      :+ ((b, "wall_ms", wallMs)))
+      .toDF("batch_id", "metric", "value"))
+    // lineage LAST: commit point for resume
+    t.lineage.append(Seq((b, "pipeline", "done")).toDF("batch_id", "stage", "status"))
+    registry.unpersist()
   }
 
   /** I3 reannotate flow (reference pipelinehelper/main.py:19-34): fetch

@@ -480,6 +480,51 @@ object SparkEntry {
         .groupBy(col("label"), col("dim"))
         .agg((sum(col("vq")).cast("double") /
           (count(lit(1)) * lit(1000000.0))).as("mean_v"))
+    }),
+
+    // ---- as-of join (point-in-time feature attribution) ----------------
+    // Each purchase joined to the user's most recent prior click — the
+    // single-sweep encoding (graft.ops.AsOf): one shuffle on the key, no
+    // (left, earlier-right) pair materialization. Oracle = DuckDB's
+    // native ASOF JOIN, checking the full operator semantics end-to-end.
+    "q16_asof" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_ts"))
+      // events ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is the
+      // identity on the instant (unix_micros only accepts TIMESTAMP)
+      def us(n: String) = unix_micros(col(n).cast("timestamp"))
+      graft.ops.AsOf.asofJoin(p, c, "user_id", "p_ts", "c_ts")
+        .select(col("purchase_id"), col("user_id"),
+          us("p_ts").as("p_us"), col("click_id"),
+          (us("p_ts") - us("c_ts")).as("gap_us"))
+    }),
+
+    // ---- rollup (hierarchical aggregate, one pass) ----------------------
+    "q17_rollup" -> ((s, dir) => {
+      lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+    }),
+
+    // ---- deterministic train/eval splits (reproducible sampling) -------
+    // Split assignment is a pure function of the document text (md5-prefix
+    // thresholds, graft.ops.Sampling): identical on every run, engine and
+    // partitioning. 80/10/10; the oracle re-derives the same buckets in SQL.
+    "t11_splits" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("split",
+          graft.ops.Sampling.splitIndex(col("text"), Seq(0.8, 0.1, 0.1)))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
     })
   )
 
@@ -1062,6 +1107,29 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                       unnest(generate_series(0, len(embedding) - 1)) AS dim
                FROM embeddings)
-         GROUP BY label, dim"""
+         GROUP BY label, dim""",
+    "q16_asof" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+                    FROM events WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, epoch_us(p.p_ts) AS p_us,
+                c.click_id,
+                epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us
+         FROM p ASOF JOIN c
+           ON p.user_id = c.user_id AND p.p_ts >= c.c_ts""",
+    "q17_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "t11_splits" ->
+      """SELECT lang,
+                CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 0
+                     WHEN substr(md5(text), 1, 4) < 'e666' THEN 1
+                     ELSE 2 END AS split,
+                count(*) AS n_docs, min(doc_id) AS min_doc_id
+         FROM documents GROUP BY 1, 2"""
   )
 }

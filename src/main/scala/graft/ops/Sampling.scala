@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment.
+  *
+  * Training pipelines need REPRODUCIBLE sampling: the same document must
+  * land in the same train/eval split on every run, at every scale, on
+  * any engine, under any partitioning — which rules out `rand()` (RNG
+  * state per partition), `TABLESAMPLE` (physical-layout dependent) and
+  * `hash()` (engine-specific). The bucket here is a pure function of the
+  * row's own content: the first 4 hex characters of `md5(value)` compared
+  * lexicographically against cumulative-weight thresholds. Lowercase hex
+  * compares identically to its numeric value, md5 is bit-identical across
+  * engines, and the whole thing is a narrow per-row expression — no
+  * shuffle, no RNG, trivially expressible in ANSI SQL for audit queries.
+  * Granularity is 1/65536; at a billion rows each split lands within
+  * ~0.01% of its weight (binomial concentration).
+  */
+object Sampling {
+
+  /** Upper-threshold hex keys (4 lowercase hex chars) for all splits but
+    * the last — the SQL-visible contract (`substr(md5(x),1,4) < 'cccc'`).
+    */
+  def hexThresholds(weights: Seq[Double]): Seq[String] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    weights.scanLeft(0.0)(_ + _).tail.init
+      .map(w => f"${math.floor(w / total * 65536).toInt}%04x")
+  }
+
+  /** Split index in [0, weights.size) for `c`, deterministic in its value. */
+  def splitIndex(c: Column, weights: Seq[Double]): Column = {
+    val h = substring(md5(c), 1, 4)
+    hexThresholds(weights).zipWithIndex.reverse
+      .foldLeft(lit(weights.size - 1): Column) { case (acc, (t, i)) =>
+        when(h < lit(t), lit(i)).otherwise(acc)
+      }
+  }
+
+  /** Keep-predicate for a deterministic `rate` sample of rows by `c`. */
+  def sampled(c: Column, rate: Double): Column = {
+    require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    val t = math.floor(rate * 65536).toInt
+    if (t >= 65536) lit(true)
+    else substring(md5(c), 1, 4) < lit(f"$t%04x")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.{AsOf, Sampling}
+import org.apache.spark.sql.functions._
+
+/** AsOf single-sweep join vs a brute-force oracle; Sampling determinism
+  * and the hex-threshold contract the t11_splits DuckDB oracle hardcodes.
+  */
+class AsOfSamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin equals the brute-force most-recent-prior computation") {
+    val rnd = new scala.util.Random(42)
+    val lefts = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(8) + 1).toLong, rnd.nextInt(1000).toLong))
+    val rights = (1 to 150).map(i =>
+      // distinct ts per key (deterministic tiebreak not under test here)
+      (1000L + i, (rnd.nextInt(8) + 1).toLong, rnd.nextInt(500) * 2L + 1, i * 1.5))
+
+    val l = lefts.toDF("l_id", "k", "l_ts")
+    val r = rights.toDF("r_id", "k", "r_ts", "payload")
+
+    val got = AsOf.asofJoin(l, r, "k", "l_ts", "r_ts")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toMap
+
+    val byKey = rights.groupBy(_._2)
+    val expected = lefts.flatMap { case (lid, k, lts) =>
+      byKey.getOrElse(k, Nil).filter(_._3 <= lts) match {
+        case Nil => None
+        case ms  => Some(lid -> ms.maxBy(_._3)._1)
+      }
+    }.toMap
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("asofJoin: equal timestamps match; no-prior-right rows drop") {
+    val l = Seq((1L, "a", 100L), (2L, "a", 50L), (3L, "b", 10L))
+      .toDF("l_id", "k", "l_ts")
+    val r = Seq((9L, "a", 100L), (8L, "a", 60L)).toDF("r_id", "k", "r_ts")
+    val got = AsOf.asofJoin(l, r, "k", "l_ts", "r_ts")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toMap
+    // l1 matches r9 at the same instant; l2 has no right at ts<=50; key b empty
+    assert(got == Map(1L -> 9L))
+  }
+
+  test("asofJoin: equal-ts right rows resolve to the greatest payload, deterministically") {
+    val l = Seq((1L, "a", 100L)).toDF("l_id", "k", "l_ts")
+    val r = Seq((7L, "a", 90L), (5L, "a", 90L)).toDF("r_id", "k", "r_ts")
+    (1 to 3).foreach { p =>
+      val got = AsOf.asofJoin(l, r.repartition(p), "k", "l_ts", "r_ts")
+        .select("r_id").as[Long].collect().toSeq
+      assert(got == Seq(7L))
+    }
+  }
+
+  test("splitIndex: exhaustive, partitioning-invariant, near weight proportions") {
+    val docs = (1 to 4000).map(i => s"document body number $i").toDF("text")
+    val w = Seq(0.8, 0.1, 0.1)
+    val counts = docs.repartition(7)
+      .groupBy(Sampling.splitIndex(col("text"), w).as("split"))
+      .count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet == Set(0, 1, 2))
+    assert(math.abs(counts(0) - 3200.0) / 4000 < 0.03)
+    // pure function of the value: identical assignment at any parallelism
+    val again = docs.repartition(1)
+      .groupBy(Sampling.splitIndex(col("text"), w).as("split"))
+      .count().as[(Int, Long)].collect().toMap
+    assert(again == counts)
+  }
+
+  test("hexThresholds matches the SQL contract; sampled() rate behaves") {
+    // the constants the t11_splits DuckDB oracle hardcodes
+    assert(Sampling.hexThresholds(Seq(0.8, 0.1, 0.1)) == Seq("cccc", "e666"))
+    val docs = (1 to 4000).map(i => s"row $i").toDF("v")
+    val kept = docs.filter(Sampling.sampled(col("v"), 0.25)).count()
+    assert(math.abs(kept - 1000.0) / 4000 < 0.03)
+    assert(docs.filter(Sampling.sampled(col("v"), 1.0)).count() == 4000)
+  }
+}

@@ -525,6 +525,31 @@ object SparkEntry {
           graft.ops.Sampling.splitIndex(col("text"), Seq(0.8, 0.1, 0.1)))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+    }),
+
+    // ---- bucketized range join (interval containment without equi-key) --
+    // Shipments falling inside 7-day order windows. A bare BETWEEN join has
+    // no equi-key, so Catalyst would plan a BroadcastNestedLoopJoin —
+    // O(|ships| x |windows|). RangeJoin.pointInInterval quantizes time into
+    // 1-day buckets: intervals replicate across the ~8 buckets they touch,
+    // points land in one, and the plan becomes a hash equi-join on the
+    // bucket id + residual filter. Oracle = DuckDB's native IEJoin on the
+    // same BETWEEN predicate, checking the full operator end-to-end.
+    "q18_range_join" -> ((s, dir) => {
+      def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+      val day = 86400000000L
+      val windows = orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          us(col("o_orderdate")).as("lo_us"),
+          (us(col("o_orderdate")) + lit(7 * day)).as("hi_us"))
+      val ships = lineitem(s, dir)
+        .select(us(col("l_shipdate")).as("ship_us"), col("l_quantity"))
+      graft.ops.RangeJoin
+        .pointInInterval(ships, windows, "ship_us", "lo_us", "hi_us", day)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_ship"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
     })
   )
 
@@ -1130,6 +1155,16 @@ object SparkEntry {
                      WHEN substr(md5(text), 1, 4) < 'e666' THEN 1
                      ELSE 2 END AS split,
                 count(*) AS n_docs, min(doc_id) AS min_doc_id
-         FROM documents GROUP BY 1, 2"""
+         FROM documents GROUP BY 1, 2""",
+    "q18_range_join" ->
+      """WITH w AS (SELECT o_orderkey AS window_id,
+                           epoch_us(o_orderdate) AS lo_us,
+                           epoch_us(o_orderdate) + 604800000000 AS hi_us
+                    FROM orders WHERE o_orderkey % 100 = 0)
+         SELECT w.window_id, count(*) AS n_ship,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+         FROM w JOIN lineitem l
+           ON epoch_us(l.l_shipdate) BETWEEN w.lo_us AND w.hi_us
+         GROUP BY w.window_id"""
   )
 }

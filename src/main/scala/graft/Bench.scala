@@ -128,9 +128,10 @@ object Bench {
     */
   private val headline = Seq(
     "q1_agg", "q2_topk_window", "q3_join_agg", "q6_sessionize",
-    "q13_interval_overlap", "t1_exact_dedup", "t6_ngram_neardup",
-    "t7_minhash_lsh", "t8_simhash", "e1_ann_topk", "e2_ann_lsh",
-    "e4_ann_ivf", "kg_spans", "kg_sections", "kg_triples")
+    "q13_interval_overlap", "q16_asof", "q17_rollup", "q18_range_join",
+    "t1_exact_dedup", "t6_ngram_neardup", "t7_minhash_lsh", "t8_simhash",
+    "t11_splits", "e1_ann_topk", "e2_ann_lsh", "e4_ann_ivf",
+    "kg_spans", "kg_sections", "kg_triples")
 
   /** The KB-population job benched for scaling: docs (optionally
     * replicated to amortize fixed job overhead) -> full pipeline ->
@@ -458,7 +459,20 @@ object Bench {
           catch { case _: InterruptedException => true }
         if (!interrupted) {
           cancelled.set(true)
-          try s.sparkContext.cancelAllJobs() catch { case _: Throwable => () }
+          // cancel REPEATEDLY, not once: a one-shot cancel that fires
+          // while the driver is between jobs (codegen compilation,
+          // planning — exactly where a storm-bound driver spends long
+          // gaps) is a no-op, and the next submitted job runs normally.
+          // Measured 2026-08-18: the 90 s breaker missed and the warmup
+          // ran 522 s, eating the whole wall budget and leaving an
+          // artifact with an EMPTY query table. Keep cancelling until
+          // the guarded block exits (interrupt clears the loop).
+          try {
+            while (!Thread.currentThread().isInterrupted) {
+              try s.sparkContext.cancelAllJobs() catch { case _: Throwable => () }
+              Thread.sleep(2000L)
+            }
+          } catch { case _: InterruptedException => () }
         }
       }, s"graft-guard-$tag")
       timer.setDaemon(true)

@@ -268,6 +268,26 @@ object Incremental {
     }
   }
 
+  /** Table maintenance for a long-lived work dir (Iceberg's
+    * expire_snapshots + rewrite_data_files + remove_orphan_files, in
+    * that spirit): compact each table's live snapshot into one dir-set,
+    * expire history beyond `keepLast`, vacuum crash debris. A
+    * micro-batch loop otherwise accretes one data dir (bucketed: one
+    * leaf per touched bucket) and one manifest per commit without
+    * bound. Run BETWEEN runs, never concurrently with one — IceLite is
+    * single-writer. Resume is unaffected: it reads only the LATEST
+    * lineage snapshot, which compaction preserves row-identically.
+    */
+  def maintain(spark: SparkSession, workDir: String, keepLast: Int = 2): Unit = {
+    val t = Tables(workDir)
+    Seq(t.documents, t.mentions, t.candidates, t.registry, t.triples,
+        t.lineage, t.metrics).foreach { tbl =>
+      tbl.compact(spark)
+      tbl.expireSnapshots(keepLast)
+      tbl.vacuum()
+    }
+  }
+
   def pendingReannotations(spark: SparkSession, workDir: String): Seq[Seq[String]] = {
     val t = Tables(workDir)
     // an id-set is pending iff its LATEST attempt (highest marker) has

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *     target/scala-2.13/ikbpspark_2.13-0.1.0.jar \
   *     run   <docs-parquet-dir> <workDir> [numBatches]   # incremental KB run
   *   spark-submit ... graft.Submit reannotate <workDir> <docId>[,docId...]
+  *   spark-submit ... graft.Submit maintain <workDir> [keepLast]    # compact+expire+vacuum
   *
   * `run` executes the full incremental KB population (per-partition
   * lineage, resumable: re-submitting after a kill continues from the
@@ -22,7 +23,7 @@ import org.apache.spark.sql.SparkSession
 object Submit {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: run <sfDir> <workDir> [numBatches] | " +
-      "reannotate <workDir> <docIds>")
+      "reannotate <workDir> <docIds> | maintain <workDir> [keepLast]")
     // setIfMissing: production defaults that a spark-submit --conf can
     // still override. Kryo + lz4 block compression matter here — the
     // pipeline's stage-boundary checkpoints hold InternalRows, and the
@@ -37,7 +38,7 @@ object Submit {
       .config(conf)
       .getOrCreate()
     val usage = "usage: run <sfDir> <workDir> [numBatches] | " +
-      "reannotate <workDir> <docIds>"
+      "reannotate <workDir> <docIds> | maintain <workDir> [keepLast]"
     try args(0) match {
       case "run" =>
         require(args.length >= 3, usage)
@@ -54,6 +55,11 @@ object Submit {
         val (workDir, ids) = (args(1), args(2))
         Incremental.reannotate(spark, workDir, ids.split(",").toSeq)
         println(s"graft: reannotated $ids in $workDir")
+      case "maintain" =>
+        require(args.length >= 2, usage)
+        val keepLast = if (args.length > 2) args(2).toInt else 2
+        Incremental.maintain(spark, args(1), keepLast)
+        println(s"graft: maintenance complete in ${args(1)} (keepLast=$keepLast)")
       case other => sys.error(s"unknown command: $other\n$usage")
     } finally spark.stop()
   }

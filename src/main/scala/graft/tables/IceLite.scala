@@ -287,4 +287,79 @@ final case class IceLite(root: String, numBuckets: Int = 0,
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
       .toSeq.sorted
+
+  // ---- maintenance ---------------------------------------------------
+  // A micro-batch loop accretes one data dir per commit (bucketed: one
+  // leaf dir per touched bucket per commit) and one manifest per
+  // snapshot, forever — the classic small-files + metadata-growth
+  // problem. These are the Iceberg maintenance analogs
+  // (expire_snapshots / rewrite_data_files / remove_orphan_files);
+  // single-writer like every IceLite mutation, run them from the
+  // maintenance slot of the batch loop, not concurrently with a commit.
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+
+  /** Drop all but the last `keepLast` snapshots: their manifests are
+    * deleted (time travel to them ends) and every data dir referenced
+    * ONLY by expired snapshots is removed. Kept snapshots read
+    * byte-identically before and after — dirs they share with expired
+    * ones survive. Manifests are deleted before data so a crash mid-way
+    * leaves at worst unreferenced garbage (vacuum's job), never a kept
+    * manifest pointing at deleted files. Returns the expired ids.
+    */
+  def expireSnapshots(keepLast: Int = 1): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val all = snapshots
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    if (expired.nonEmpty) {
+      val keptDirs = kept.flatMap(manifestDirs).toSet
+      val deadDirs = expired.flatMap(manifestDirs).toSet -- keptDirs
+      expired.foreach(id => Files.deleteIfExists(meta.resolve(s"v$id.json")))
+      deadDirs.foreach(d => deleteTree(Paths.get(root, d)))
+      // bucketed leaves leave their data/s<id> parent behind when every
+      // sibling bucket is dead — remove now-empty parents
+      deadDirs.map(d => Paths.get(root, d).getParent).filter { p =>
+        p != Paths.get(root, "data") && Files.isDirectory(p) &&
+          !Files.list(p).iterator().hasNext
+      }.foreach(Files.deleteIfExists(_))
+    }
+    expired
+  }
+
+  /** Rewrite the current snapshot into ONE fresh data dir (one leaf per
+    * bucket for bucketed tables) and commit it as a new snapshot whose
+    * manifest references nothing else. Collapses the accreted
+    * dir-per-commit layout; older snapshots still time-travel until
+    * expired. O(live table) — run occasionally, not per batch. Also the
+    * documented upgrade path for pre-PROPS legacy tables: the full
+    * rewrite stamps the bucket spec. Returns the new snapshot id, or
+    * None for a never-written table.
+    */
+  def compact(spark: SparkSession): Option[Int] = read(spark).map(overwrite)
+
+  /** Delete orphaned data dirs: `data/s<k>` trees with k <= the latest
+    * committed snapshot id that no live manifest references — the debris
+    * of writes that crashed before their pointer swap (the commit
+    * protocol's documented garbage). k > latest is left alone: under the
+    * single-writer protocol that dir belongs to an in-flight commit.
+    * Returns the deleted dir names.
+    */
+  def vacuum(): Seq[String] = latestSnapshot match {
+    case None => Seq.empty
+    case Some(latest) =>
+      val live = snapshots.flatMap(manifestDirs)
+        .map(d => d.split("/").take(2).mkString("/")).toSet // data/s<id>
+      val dataRoot = Paths.get(root, "data")
+      if (!Files.isDirectory(dataRoot)) Seq.empty
+      else Files.list(dataRoot).iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("s") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toInt <= latest && !live.contains(s"data/$n"))
+        .toSeq
+        .map { n => deleteTree(dataRoot.resolve(n)); s"data/$n" }
+  }
 }

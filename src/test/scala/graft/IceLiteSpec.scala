@@ -145,4 +145,68 @@ class IceLiteSpec extends SparkTestBase {
     t8.mergeInto(spark, Seq((2, "B")).toDF("id", "v"), Seq("id"))
     assert(t8.read(spark).get.count() == 3)
   }
+
+  test("expireSnapshots keeps the tail readable and drops only-dead data dirs") {
+    val root = tmp()
+    val t = IceLite(root)
+    t.append(Seq((1, "a")).toDF("id", "v"))      // s1: data/s1
+    t.append(Seq((2, "b")).toDF("id", "v"))      // s2: s1+s2
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))   // s3: s3 only
+    t.append(Seq((10, "y")).toDF("id", "v"))     // s4: s3+s4
+    assert(t.expireSnapshots(keepLast = 2) == Seq(1, 2))
+    assert(t.snapshots == Seq(3, 4))
+    // kept snapshots read byte-identically (s3 shares data/s3 with s4)
+    assert(t.readSnapshot(spark, 3).collect().map(_.getInt(0)).toSeq == Seq(9))
+    assert(t.read(spark).get.count() == 2)
+    // data dirs referenced only by expired snapshots are gone
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", "s1")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", "s2")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "data", "s3")))
+    intercept[Exception] { t.readSnapshot(spark, 1) }
+    // expiring everything but the head is a no-op thereafter
+    assert(t.expireSnapshots(keepLast = 5).isEmpty)
+  }
+
+  test("compact collapses a bucketed table to one dir-set; content unchanged") {
+    val root = tmp()
+    val t = IceLite(root, 4, Seq("id"))
+    t.overwrite((1 to 40).map(i => (i, s"v$i")).toDF("id", "v"))
+    (1 to 5).foreach(k => t.mergeInto(spark,
+      Seq((k * 7, s"U$k")).toDF("id", "v"), Seq("id")))
+    val before = t.read(spark).get.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val manifestSizeBefore = t.snapshots.size
+    val Some(sid) = t.compact(spark)
+    val after = t.read(spark).get.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(after == before)
+    // the compacted manifest references exactly one data/s<id> tree
+    val live = Files.readString(
+      java.nio.file.Paths.get(root, "_meta", s"v$sid.json"))
+    assert(!live.contains("data/s1/") || sid == 1)
+    assert("data/s(\\d+)".r.findAllMatchIn(live).map(_.group(1)).toSet == Set(sid.toString))
+    // maintenance combo: expire history, vacuum leftovers -> minimal layout
+    t.expireSnapshots(keepLast = 1)
+    assert(t.snapshots == Seq(sid))
+    assert(t.read(spark).get.count() == 40)
+    assert(manifestSizeBefore == 6)
+  }
+
+  test("vacuum removes crash-orphaned data dirs, never in-flight or live ones") {
+    val root = tmp()
+    val t = IceLite(root)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    // simulate a crashed commit: data written for a snapshot id that never
+    // got a manifest (id <= latest can only be crash debris)
+    val orphan = java.nio.file.Paths.get(root, "data", "s0")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-junk.parquet"), "junk")
+    // an id BEYOND latest may be an in-flight writer: must be left alone
+    val inflight = java.nio.file.Paths.get(root, "data", "s99")
+    Files.createDirectories(inflight)
+    assert(t.vacuum() == Seq("data/s0"))
+    assert(!Files.exists(orphan) && Files.exists(inflight))
+    assert(t.read(spark).get.count() == 2)
+  }
 }

@@ -47,6 +47,37 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("maintain (compact+expire+vacuum) preserves content and resume") {
+    val docs = spark.createDataset(corpus)
+    val dirA = Files.createTempDirectory("mntA").toString
+    val dirB = Files.createTempDirectory("mntB").toString
+
+    Incremental.run(spark, docs, dirA, numBatches = 3)
+
+    // interrupted run, then MAINTENANCE between the kill and the resume —
+    // the hostile ordering: resume must work from the compacted lineage
+    Incremental.run(spark, docs, dirB, numBatches = 3, upToBatch = 1)
+    Incremental.maintain(spark, dirB, keepLast = 1)
+    Incremental.run(spark, docs, dirB, numBatches = 3) // resume
+
+    Seq("triples", "registry", "mentions", "documents").foreach { n =>
+      assert(tableState(Incremental.Tables(dirA), n) ==
+             tableState(Incremental.Tables(dirB), n), s"table $n differs")
+    }
+
+    // maintenance on the completed dir: content identical, history trimmed
+    val before = tableState(Incremental.Tables(dirA), "triples")
+    Incremental.maintain(spark, dirA, keepLast = 1)
+    assert(tableState(Incremental.Tables(dirA), "triples") == before)
+    val t = Incremental.Tables(dirA)
+    Seq(t.documents, t.mentions, t.registry, t.triples, t.lineage).foreach { tbl =>
+      assert(tbl.snapshots.size == 1, s"${tbl.root} history not trimmed")
+    }
+    // and the loop still runs after maintenance (idempotent re-merge)
+    Incremental.run(spark, docs, dirA, numBatches = 3)
+    assert(tableState(Incremental.Tables(dirA), "triples") == before)
+  }
+
   test("mid-batch crash (all merges done, no done-row) replays byte-identically") {
     val docs = spark.createDataset(corpus)
     val dirA = Files.createTempDirectory("incMidA").toString

@@ -550,6 +550,27 @@ object SparkEntry {
         .groupBy(col("window_id"))
         .agg(count(lit(1)).as("n_ship"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // ---- interval-interval overlap join (bucketized, exactly-once) -----
+    // Pairs of overlapping 7-day order windows. The dedup is shuffle-free:
+    // a pair is emitted only from the bucket containing max(lo1, lo2),
+    // which both intervals cover — no distinct over the output.
+    "q19_interval_join" -> ((s, dir) => {
+      def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+      val day = 86400000000L
+      def windows(pfx: String) = orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as(s"${pfx}_id"),
+          us(col("o_orderdate")).as(s"${pfx}_lo"),
+          (us(col("o_orderdate")) + lit(7 * day)).as(s"${pfx}_hi"))
+      graft.ops.RangeJoin
+        .intervalOverlap(windows("w1"), windows("w2"),
+          "w1_lo", "w1_hi", "w2_lo", "w2_hi", day)
+        .filter(col("w1_id") < col("w2_id"))
+        .select(col("w1_id"), col("w2_id"),
+          (least(col("w1_hi"), col("w2_hi")) -
+            greatest(col("w1_lo"), col("w2_lo"))).as("overlap_us"))
     })
   )
 
@@ -1165,6 +1186,14 @@ object SparkEntry {
                 CAST(sum(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
          FROM w JOIN lineitem l
            ON epoch_us(l.l_shipdate) BETWEEN w.lo_us AND w.hi_us
-         GROUP BY w.window_id"""
+         GROUP BY w.window_id""",
+    "q19_interval_join" ->
+      """WITH w AS (SELECT o_orderkey AS id, epoch_us(o_orderdate) AS lo,
+                           epoch_us(o_orderdate) + 604800000000 AS hi
+                    FROM orders WHERE o_orderkey % 100 = 0)
+         SELECT a.id AS w1_id, b.id AS w2_id,
+                least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+         FROM w a JOIN w b
+           ON a.lo <= b.hi AND b.lo <= a.hi AND a.id < b.id"""
   )
 }

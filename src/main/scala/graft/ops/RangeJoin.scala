@@ -51,4 +51,30 @@ object RangeJoin {
       .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
       .drop("__b")
   }
+
+  /** Join each `left` row to every `right` row whose closed interval
+    * overlaps it: [lLo,lHi] ∩ [rLo,rHi] ≠ ∅. Both sides replicate across
+    * the buckets they span; an overlapping pair meets in every bucket
+    * both cover, so exactly-once output needs a dedup rule — and there is
+    * a shuffle-free one: `max(lLo, rLo)` lies inside BOTH intervals
+    * whenever they overlap, so the pair is emitted only from the single
+    * bucket containing that point. No `distinct` (which would be a second
+    * full shuffle of the output) is ever needed. Same cost model and
+    * bucketWidth guidance as [[pointInInterval]].
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLo: String, lHi: String, rLo: String, rHi: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty, s"column collision: ${collisions.mkString(",")}")
+    def spans(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn("__b", explode(sequence(
+          floor(col(lo) / bucketWidth), floor(col(hi) / bucketWidth))))
+    spans(left, lLo, lHi).join(spans(right, rLo, rHi), Seq("__b"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__b") === floor(greatest(col(lLo), col(rLo)) / bucketWidth))
+      .drop("__b")
+  }
 }

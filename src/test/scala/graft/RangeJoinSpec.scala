@@ -65,6 +65,29 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("intervalOverlap equals brute force, exactly once, across bucket widths") {
+    val rnd = new scala.util.Random(11)
+    val as = (1 to 120).map { i =>
+      val lo = rnd.nextInt(1500) - 300; (i.toLong, lo.toLong, (lo + rnd.nextInt(200)).toLong)
+    }
+    val bs = (1 to 90).map { i =>
+      val lo = rnd.nextInt(1500) - 400; (500L + i, lo.toLong, (lo + rnd.nextInt(350)).toLong)
+    }
+    val a = as.toDF("a_id", "a_lo", "a_hi")
+    val b = bs.toDF("b_id", "b_lo", "b_hi")
+    val expected = (for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 13L, 100L, 5000L)) {
+      val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"pair emitted twice at width $w")
+      assert(got.toSet == expected, s"mismatch at width $w")
+    }
+  }
+
   test("plan is an equi hash join on the bucket id, not a nested-loop join") {
     val p = (1 to 50).map(i => (i.toLong, i.toLong * 3)).toDF("p_id", "pt")
     val iv = (1 to 10).map(i => (100L + i, i * 10L, i * 10L + 25L)).toDF("i_id", "lo", "hi")

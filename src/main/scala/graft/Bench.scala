@@ -308,7 +308,7 @@ object Bench {
     }
     def flush(): Unit =
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"), buildJson(false) + "\n")
+        java.nio.file.Paths.get(artifactPath), buildJson(false) + "\n")
       catch { case _: Throwable => () }
 
     // ---- wall-budget watchdog ----------------------------------------
@@ -611,9 +611,14 @@ object Bench {
       } catch {
         case h: HostTooSlow =>
           // storm confirmed by a REAL job (the probe alone missed it once:
-          // 652 MB/s yet 10-50x task slowdowns): stop burning budget on
-          // ladder levels and let the queries use what remains
-          ladderAborted = Some(f"degraded_host:warmup_${h.sec}%.0fs")
+          // 652 MB/s yet 10-50x task slowdowns; 2026-08-18 midday the
+          // probe read 1700-2040 MB/s while sustained work ran sys:user
+          // = 5:1 — short bursts refill from the ready pool, sustained
+          // multi-GiB working sets drain it). Record the warmup's OWN
+          // CPU split in the marker so the artifact self-diagnoses.
+          val d = hostCpu().zip(c0).map { case (a, b) => (a - b) / 100.0 }
+          ladderAborted = Some(f"degraded_host:warmup_${h.sec}%.0fs" +
+            f"_user${d(0)}%.0f_sys${d(2)}%.0f_steal${d(7)}%.0f")
           println(s"[bench] L$l ladder-abort: ${ladderAborted.get}")
         case t: Throwable =>
           // a broken level (cluster-start failure, driver OOM) must not
@@ -727,7 +732,18 @@ object Bench {
     System.out.println(json)
     System.out.flush()
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      java.nio.file.Paths.get(artifactPath), json + "\n")
     catch { case _: Throwable => () }
   }
+
+  /** Diagnostic invocations (single-level / skip-queries) must not
+    * clobber the primary artifact — a mid-round ONLY_LEVEL probe once
+    * overwrote a completed BENCH_LOCAL.json (19-query table) with an
+    * empty skip-queries one. They write a sibling .diag file instead.
+    */
+  private[graft] def artifactPath: String =
+    if (sys.env.contains("SPARK_GRAFT_ONLY_LEVEL") ||
+        sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1"))
+      "BENCH_LOCAL.diag.json"
+    else "BENCH_LOCAL.json"
 }

@@ -571,6 +571,32 @@ object SparkEntry {
         .select(col("w1_id"), col("w2_id"),
           (least(col("w1_hi"), col("w2_hi")) -
             greatest(col("w1_lo"), col("w2_lo"))).as("overlap_us"))
+    }),
+
+    // ---- cube (all grouping combinations, one pass) --------------------
+    "q20_cube" -> ((s, dir) => {
+      lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+    }),
+
+    // ---- exact interpolated quantiles ----------------------------------
+    // percentile() (exact, type-7 linear interpolation at index p*(N-1))
+    // = DuckDB quantile_cont. Computed over l_quantity: integer-valued
+    // doubles, so every interpolated value is an exact dyadic rational
+    // and the result is bit-identical across engines — the float-quantize
+    // trick the oracle contract otherwise needs is unnecessary here.
+    "q21_median" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").cast("double").as("p25"),
+          expr("percentile(l_quantity, 0.5)").cast("double").as("p50"),
+          expr("percentile(l_quantity, 0.75)").cast("double").as("p75"),
+          count(lit(1)).as("n_rows"))
     })
   )
 
@@ -1194,6 +1220,19 @@ object SparkEntry {
          SELECT a.id AS w1_id, b.id AS w2_id,
                 least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
          FROM w a JOIN w b
-           ON a.lo <= b.hi AND b.lo <= a.hi AND a.id < b.id"""
+           ON a.lo <= b.hi AND b.lo <= a.hi AND a.id < b.id""",
+    "q20_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q21_median" ->
+      """SELECT l_returnflag,
+                CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+                CAST(quantile_cont(l_quantity, 0.5)  AS DOUBLE) AS p50,
+                CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -95,5 +95,11 @@ class RangeJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), plan)
     assert(plan.contains("HashJoin"), plan)
+    val p2 = (1 to 50).map(i => (i.toLong, i * 3L, i * 3L + 20L)).toDF("a_id", "a_lo", "a_hi")
+    val iv2 = (1 to 10).map(i => (100L + i, i * 10L, i * 10L + 25L)).toDF("i_id", "lo", "hi")
+    val plan2 = RangeJoin.intervalOverlap(p2, iv2, "a_lo", "a_hi", "lo", "hi", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("NestedLoop"), plan2)
+    assert(plan2.contains("HashJoin"), plan2)
   }
 }

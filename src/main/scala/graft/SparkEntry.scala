@@ -597,6 +597,17 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.5)").cast("double").as("p50"),
           expr("percentile(l_quantity, 0.75)").cast("double").as("p75"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- pivot (wide conditional aggregation) --------------------------
+    // Explicit value list => no extra distinct-values job, stable column
+    // order; the oracle is the equivalent conditional aggregation.
+    "q22_pivot" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
     })
   )
 
@@ -1233,6 +1244,13 @@ object SparkEntry {
                 CAST(quantile_cont(l_quantity, 0.5)  AS DOUBLE) AS p50,
                 CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75,
                 count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q22_pivot" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN l_linestatus = 'F'
+                              THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_f,
+                CAST(sum(CASE WHEN l_linestatus = 'O'
+                              THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_o
          FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -599,6 +599,33 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // ---- training-sequence packing (greedy linear, one window) ---------
+    // Documents packed into 4096-char bins per language; bin id is a pure
+    // window function of the data (no driver-side bin state), identical
+    // on any partitioning — the streaming-friendly packer of a
+    // pretraining pipeline. Aggregated per bin for a compact result.
+    "t12_pack" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+      graft.ops.Pack.linearPack(d, Seq("lang"), "doc_id", "n_chars", 4096L)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("bin_chars"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
+    // ---- overlapping text chunking (RAG-style sliding window) ----------
+    // 200-char chunks advancing by 150 (50 overlap): generate-and-explode
+    // projection, zero shuffle, codegen'd end to end.
+    "t13_chunk" -> ((s, dir) => {
+      graft.ops.Pack
+        .chunk(documents(s, dir).select(col("doc_id"), col("text")), "text", 200, 50)
+        .select(col("doc_id"), col("chunk_idx"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          substring(col("chunk"), 1, 16).as("head"))
+    }),
+
     // ---- pivot (wide conditional aggregation) --------------------------
     // Explicit value list => no extra distinct-values job, stable column
     // order; the oracle is the equivalent conditional aggregation.
@@ -1251,6 +1278,25 @@ object SparkEntry {
                               THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_f,
                 CAST(sum(CASE WHEN l_linestatus = 'O'
                               THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_o
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "t12_pack" ->
+      """WITH d AS (SELECT doc_id, lang, length(text) AS n_chars FROM documents),
+              p AS (SELECT doc_id, lang, n_chars,
+                           sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             - n_chars AS bin_offset
+                    FROM d)
+         SELECT lang, CAST(floor(bin_offset / 4096.0) AS BIGINT) AS bin_id,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+                min(doc_id) AS first_doc
+         FROM p GROUP BY 1, 2""",
+    "t13_chunk" ->
+      """SELECT doc_id, CAST(s / 150 AS BIGINT) AS chunk_idx,
+                CAST(s AS BIGINT) AS chunk_start,
+                CAST(length(substr(text, s + 1, 200)) AS BIGINT) AS chunk_len,
+                substr(text, s + 1, 16) AS head
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS s
+               FROM documents)"""
   )
 }

@@ -16,7 +16,9 @@ object DevExplain {
     Seq("q1_agg", "q3_join_agg", "q8_pagination", "t6_ngram_neardup",
       "e1_ann_topk", "kg_sections", "t10_dedup_canon",
       "kg_media_resized", "kg_media_frames",
-      "q16_asof", "q17_rollup", "q18_range_join", "t11_splits").foreach { q =>
+      "q16_asof", "q17_rollup", "q18_range_join", "q19_interval_join",
+      "q20_cube", "q21_median", "q22_pivot", "t11_splits", "t12_pack",
+      "t13_chunk").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

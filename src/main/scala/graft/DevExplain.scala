@@ -18,7 +18,8 @@ object DevExplain {
       "kg_media_resized", "kg_media_frames",
       "q16_asof", "q17_rollup", "q18_range_join", "q19_interval_join",
       "q20_cube", "q21_median", "q22_pivot", "t11_splits", "t12_pack",
-      "t13_chunk").foreach { q =>
+      "t13_chunk", "q23_skew_join", "t14_stratified",
+      "t15_group_sample").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

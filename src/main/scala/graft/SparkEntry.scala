@@ -635,6 +635,57 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(dec(col("l_quantity"))).cast("double"))
         .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+    }),
+
+    // ---- two-path salted skew join (head-key defense, end to end) ------
+    // lineitem x part through SkewJoin.adaptiveSaltedJoin: keys above the
+    // hot threshold take the salted path (hot key spread over 8 shuffle
+    // sub-keys, dim rows replicated), the long tail takes the plain join;
+    // the union must be row-identical to the unsalted join — which is
+    // exactly what the oracle (a plain SQL join) checks. The salt is
+    // pmod(hash(orderkey, linenumber), 8): deterministic, replay-stable.
+    "q23_skew_join" -> ((s, dir) => {
+      val large = lineitem(s, dir)
+        .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      val small = part(s, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.ops.SkewJoin
+        .adaptiveSaltedJoin(large, small, "partkey",
+          Seq(col("l_orderkey"), col("l_linenumber")), salts = 8,
+          hotThreshold = 40L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // ---- stratified deterministic sampling ------------------------------
+    // Downsample the dominant language, keep rare ones denser: en 50%,
+    // zh 25%, everything else 12.5%. Membership is a pure md5-prefix
+    // function of doc_id (graft.ops.Sampling) — changing a stratum's rate
+    // never reshuffles WHICH rows survive within it, only the cutoff.
+    "t14_stratified" -> ((s, dir) => {
+      documents(s, dir)
+        .filter(graft.ops.Sampling.stratifiedSampled(
+          col("doc_id").cast("string"),
+          col("lang"), Seq("en" -> 0.5, "zh" -> 0.25), 0.125))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+    }),
+
+    // ---- deterministic k-per-group sample (domain cap) ------------------
+    // At most 20 docs per language, chosen by md5 order — the "cap
+    // documents per domain" primitive of corpus curation. One sort+window
+    // per group partition; order is content-derived, so the same docs are
+    // kept on any cluster size or physical layout.
+    "t15_group_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 20)
     })
   )
 
@@ -1297,6 +1348,27 @@ object SparkEntry {
                 substr(text, s + 1, 16) AS head
          FROM (SELECT doc_id, text,
                       unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS s
-               FROM documents)"""
+               FROM documents)""",
+    "q23_skew_join" ->
+      """SELECT p.p_brand,
+                count(*) AS n_rows,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY p.p_brand""",
+    "t14_stratified" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc_id
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+               CASE lang WHEN 'en' THEN '8000'
+                         WHEN 'zh' THEN '4000'
+                         ELSE '2000' END
+         GROUP BY lang""",
+    "t15_group_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20"""
   )
 }

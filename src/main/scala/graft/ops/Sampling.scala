@@ -46,4 +46,16 @@ object Sampling {
     if (t >= 65536) lit(true)
     else substring(md5(c), 1, 4) < lit(f"$t%04x")
   }
+
+  /** Stratified keep-predicate: per-stratum rates (e.g. downsample the
+    * dominant language, keep rare ones whole). Same md5-prefix contract
+    * as [[sampled]], so membership stays a pure function of the row —
+    * rebalancing strata never reshuffles which rows survive within one.
+    */
+  def stratifiedSampled(c: Column, stratum: Column,
+                        rates: Seq[(String, Double)],
+                        defaultRate: Double): Column =
+    rates.foldRight(sampled(c, defaultRate)) { case ((k, r), acc) =>
+      when(stratum === lit(k), sampled(c, r)).otherwise(acc)
+    }
 }

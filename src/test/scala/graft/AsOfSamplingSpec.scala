@@ -76,4 +76,24 @@ class AsOfSamplingSpec extends SparkTestBase {
     assert(math.abs(kept - 1000.0) / 4000 < 0.03)
     assert(docs.filter(Sampling.sampled(col("v"), 1.0)).count() == 4000)
   }
+
+  test("stratifiedSampled: per-stratum rates; stable membership within a stratum") {
+    val docs = (1 to 3000)
+      .map(i => (s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("v", "lang")
+    val keep = Sampling.stratifiedSampled(col("v"), col("lang"),
+      Seq("en" -> 0.5, "zh" -> 0.25), 0.125)
+    val counts = docs.filter(keep).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("en") - 500.0) / 1000 < 0.06)   // 0.5 of 1000
+    assert(math.abs(counts("zh") - 250.0) / 1000 < 0.06)   // 0.25 of 1000
+    assert(math.abs(counts("fr") - 125.0) / 1000 < 0.06)   // default 0.125
+    // raising a stratum's rate only ADDS rows within it (prefix property):
+    val low = docs.filter(Sampling.stratifiedSampled(col("v"), col("lang"),
+      Seq("en" -> 0.25), 0.125)).filter(col("lang") === "en")
+      .select("v").as[String].collect().toSet
+    val high = docs.filter(keep).filter(col("lang") === "en")
+      .select("v").as[String].collect().toSet
+    assert(low.subsetOf(high))
+  }
 }

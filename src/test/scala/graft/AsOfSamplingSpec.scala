@@ -96,4 +96,20 @@ class AsOfSamplingSpec extends SparkTestBase {
       .select("v").as[String].collect().toSet
     assert(low.subsetOf(high))
   }
+
+  test("k-per-group sample plans a WindowGroupLimit (pre-shuffle prune)") {
+    // the t15_group_sample shape: a rank filter over a window must let
+    // Spark push a per-partition top-k BELOW the exchange, so each map
+    // task ships at most k rows per group instead of the whole group
+    val docs = (1 to 500)
+      .map(i => (s"d$i", if (i % 2 == 0) "en" else "fr")).toDF("doc_id", "lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(md5(col("doc_id")), col("doc_id"))
+    val q = docs
+      .select(col("lang"), col("doc_id"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 5)
+    assert(q.count() == 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

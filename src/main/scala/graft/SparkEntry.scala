@@ -673,6 +673,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
     }),
 
+    // ---- grouping sets (explicit aggregation lattice, one pass) ---------
+    // Arbitrary grouping combinations — (returnflag, linestatus) and
+    // (returnflag) only, no grand total — via the SQL front-end: one
+    // Expand + two-phase aggregate, same physical shape as rollup/cube
+    // but with a caller-chosen lattice.
+    "q24_grouping_sets" -> ((s, dir) => {
+      lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                  coalesce(l_linestatus, 'ALL') AS linestatus,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                  count(*) AS n_rows
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))""")
+    }),
+
     // ---- deterministic k-per-group sample (domain cap) ------------------
     // At most 20 docs per language, chosen by md5 order — the "cap
     // documents per domain" primitive of corpus curation. One sort+window
@@ -1363,6 +1379,13 @@ object SparkEntry {
                          WHEN 'zh' THEN '4000'
                          ELSE '2000' END
          GROUP BY lang""",
+    "q24_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))""",
     "t15_group_sample" ->
       """SELECT lang, doc_id, rn FROM (
            SELECT lang, doc_id,

@@ -282,7 +282,11 @@ object Incremental {
     val t = Tables(workDir)
     Seq(t.documents, t.mentions, t.candidates, t.registry, t.triples,
         t.lineage, t.metrics).foreach { tbl =>
-      tbl.compact(spark)
+      // bucketed KB tables are rewritten key-CLUSTERED: sorted runs give
+      // parquet tight row-group min/max stats on the access key, so
+      // point/range reads skip row groups instead of scanning the leaf
+      if (tbl.numBuckets > 0) tbl.compactSorted(spark, tbl.bucketKeys)
+      else tbl.compact(spark)
       tbl.expireSnapshots(keepLast)
       tbl.vacuum()
     }

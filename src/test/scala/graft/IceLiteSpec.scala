@@ -192,6 +192,46 @@ class IceLiteSpec extends SparkTestBase {
     assert(manifestSizeBefore == 6)
   }
 
+  test("compactSorted clusters the layout; content unchanged, files sorted") {
+    import org.apache.spark.sql.functions.input_file_name
+    // unbucketed: global range clustering — per-file sorted AND file key
+    // ranges disjoint (the precondition for scan pruning on the sort key)
+    val root = tmp()
+    val t = IceLite(root)
+    val rnd = new scala.util.Random(7)
+    t.overwrite(rnd.shuffle((1 to 400).toList).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = t.read(spark).get.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(t.compactSorted(spark, Seq("id")).nonEmpty)
+    val rows = t.read(spark).get
+      .select(input_file_name().as("f"), $"id", $"v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(rows.map(r => (r._2, r._3)).toSet == before)
+    val byFile = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    byFile.values.foreach(ks => assert(ks == ks.sorted, "file not internally sorted"))
+    val ranges = byFile.values.map(ks => (ks.min, ks.max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, "file key ranges overlap")
+      case _ =>
+    }
+    // bucketed: rows stay in their deterministic bucket, sorted within it
+    val root2 = tmp()
+    val t2 = IceLite(root2, 4, Seq("id"))
+    t2.overwrite(rnd.shuffle((1 to 200).toList).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before2 = t2.read(spark).get.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(t2.compactSorted(spark, Seq("id")).nonEmpty)
+    val rows2 = t2.read(spark).get
+      .select(input_file_name().as("f"), $"id")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(t2.read(spark).get.collect().map(r => (r.getInt(0), r.getString(1))).toSet == before2)
+    rows2.groupBy(_._1).values.foreach { fr =>
+      val ks = fr.map(_._2).toSeq
+      assert(ks == ks.sorted, "bucket leaf not internally sorted")
+    }
+    // merge after sorted compact still works (spec round-trips)
+    t2.mergeInto(spark, Seq((3, "UP")).toDF("id", "v"), Seq("id"))
+    assert(t2.read(spark).get.filter($"id" === 3).select("v").as[String].head() == "UP")
+  }
+
   test("vacuum removes crash-orphaned data dirs, never in-flight or live ones") {
     val root = tmp()
     val t = IceLite(root)

@@ -702,6 +702,20 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"),
           row_number().over(w).cast("long").as("rn"))
         .filter(col("rn") <= 20)
+    }),
+
+    // ---- event-time tumbling window --------------------------------
+    // The same window(ts, "1 hour") groupBy shape StreamKb.mentionCounts
+    // runs watermarked on an unbounded stream; driven here in batch so
+    // the DuckDB oracle (date_trunc) can hash-check it. Window starts are
+    // epoch-aligned in the UTC session, so they equal date_trunc('hour').
+    "q25_event_windows" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+                col("event_type"), col("n_events"), col("sum_value"))
     })
   )
 
@@ -1392,6 +1406,13 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY lang
                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
-         WHERE rn <= 20"""
+         WHERE rn <= 20""",
+    "q25_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+                event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1, 2"""
   )
 }

@@ -19,7 +19,8 @@ object DevExplain {
       "q16_asof", "q17_rollup", "q18_range_join", "q19_interval_join",
       "q20_cube", "q21_median", "q22_pivot", "t11_splits", "t12_pack",
       "t13_chunk", "q23_skew_join", "t14_stratified",
-      "t15_group_sample", "q24_grouping_sets", "q25_event_windows").foreach { q =>
+      "t15_group_sample", "q24_grouping_sets", "q25_event_windows",
+      "t16_repetition", "t17_decontam").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

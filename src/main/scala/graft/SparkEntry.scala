@@ -716,6 +716,27 @@ object SparkEntry {
              sum(dec(col("value"))).cast("double").as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("ws"),
                 col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // ---- n-gram repetition quality filter (Gopher-style) --------------
+    "t16_repetition" -> ((s, dir) => {
+      graft.ops.TextAnalysis
+        .ngramRepetition(documents(s, dir).select(col("doc_id"), col("text")),
+          col("text"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+          col("n_trigrams"), col("n_distinct_trigrams"), col("rep_flagged"))
+    }),
+
+    // ---- benchmark decontamination (word 5-gram overlap) ---------------
+    // Probe set = doc_id % 5 == 0 stands in for an eval benchmark; the
+    // benchmark n-gram set is broadcast, the corpus side never shuffles
+    // before the per-doc count.
+    "t17_decontam" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      graft.ops.Decontam.hits(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", n = 5)
     })
   )
 
@@ -1413,6 +1434,30 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
          FROM events
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "t16_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              b AS (SELECT doc_id,
+                           list_transform(range(1, len(ws)),
+                             i -> array_to_string(ws[i:i+1], ' ')) AS bg,
+                           list_transform(range(1, len(ws) - 1),
+                             i -> array_to_string(ws[i:i+2], ' ')) AS tg
+                    FROM w)
+         SELECT doc_id,
+                len(bg) AS n_bigrams,
+                len(list_distinct(bg)) AS n_distinct_bigrams,
+                len(tg) AS n_trigrams,
+                len(list_distinct(tg)) AS n_distinct_trigrams,
+                (len(bg) - len(list_distinct(bg))) * 10 > len(bg) AS rep_flagged
+         FROM b""",
+    "t17_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS ng
+                    FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+              probe AS (SELECT DISTINCT ng FROM g WHERE doc_id % 5 = 0),
+              corpus AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 5 <> 0)
+         SELECT c.doc_id, count(*) AS n_contaminated_ngrams
+         FROM corpus c JOIN probe p USING (ng)
+         GROUP BY 1"""
   )
 }

@@ -72,6 +72,39 @@ object TextAnalysis {
     bestLang
   }
 
+  /** Word n-grams as an array column (single-space tokenization to stay
+    * byte-identical with SQL engines' string_split). Empty array — not a
+    * descending `sequence` — when the doc has fewer than n words.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style n-gram repetition stats: per-doc total vs distinct
+    * bigram/trigram counts plus a duplication flag
+    * (`dup bigram fraction > num/den`, compared in exact integer math so
+    * SQL oracles agree bit-for-bit). Unigram duplication is already covered
+    * by [[qualityFeatures]]; repeated n-grams catch boilerplate/spam docs
+    * whose vocabulary looks diverse. Pure column expressions — the whole
+    * filter runs inside one codegen stage, no shuffle.
+    */
+  def ngramRepetition(df: DataFrame, text: Column,
+                      flagNum: Long = 1L, flagDen: Long = 10L): DataFrame = {
+    val bi = wordNgrams(text, 2)
+    val tri = wordNgrams(text, 3)
+    df.withColumn("n_bigrams", size(bi).cast("long"))
+      .withColumn("n_distinct_bigrams", size(array_distinct(bi)).cast("long"))
+      .withColumn("n_trigrams", size(tri).cast("long"))
+      .withColumn("n_distinct_trigrams", size(array_distinct(tri)).cast("long"))
+      .withColumn("rep_flagged",
+        (col("n_bigrams") - col("n_distinct_bigrams")) * lit(flagDen) >
+          col("n_bigrams") * lit(flagNum))
+  }
+
   /** Rolling polynomial fingerprint over tokens (64-bit, deterministic):
     * document-level content hash robust to whitespace layout.
     */

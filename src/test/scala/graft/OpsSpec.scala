@@ -316,4 +316,37 @@ class OpsSpec extends SparkTestBase {
     val res = graft.ops.Ann.signLshTopK(vecs, 2)
     assert(res.count() >= 0) // materializes without INVALID_ARRAY_INDEX
   }
+
+  test("ngram repetition flags the boilerplate doc, passes the clean one") {
+    val docs = Seq(
+      (1L, "a b a b a b"),      // bigrams: 5 total, 2 distinct -> flagged
+      (2L, "u v w x y z"),      // all distinct -> clean
+      (3L, "solo")              // shorter than n: zero n-grams, no crash
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.ngramRepetition(docs, col("text"))
+      .select("doc_id", "n_bigrams", "n_distinct_bigrams",
+        "n_trigrams", "n_distinct_trigrams", "rep_flagged")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r(1L) == ((5L, 2L, 4L, 2L, true)))
+    assert(r(2L) == ((5L, 5L, 4L, 4L, false)))
+    assert(r(3L) == ((0L, 0L, 0L, 0L, false)))
+  }
+
+  test("decontam counts distinct shared n-grams once per doc, broadcast plan") {
+    val bench = Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark 5-gram twice -> must count ONCE
+      (1L, "x quick brown fox jumps over y quick brown fox jumps over z"),
+      (2L, "totally unrelated words in this document here"),
+      // two DIFFERENT benchmark 5-grams -> counts 2
+      (3L, "quick brown fox jumps over p q brown fox jumps over lazy")
+    ).toDF("doc_id", "text")
+    val hits = graft.ops.Decontam.hits(corpus, bench, "text", "doc_id", n = 5)
+    val m = hits.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 3L -> 2L))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -737,6 +737,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
         "text", "doc_id", n = 5)
+    }),
+
+    // ---- token-budget corpus mixing ------------------------------------
+    // "2000 en tokens, 1000 zh, 500 of each other language": prefix of the
+    // deterministic md5 order per stratum, running sum inside the budget.
+    "t18_token_budget" -> ((s, dir) => {
+      graft.ops.Sampling.tokenBudget(
+        documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", size(split(col("text"), " ")),
+        Seq("en" -> 2000L, "zh" -> 1000L), defaultBudget = 500L)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
     })
   )
 
@@ -1458,6 +1469,18 @@ object SparkEntry {
               corpus AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 5 <> 0)
          SELECT c.doc_id, count(*) AS n_contaminated_ngrams
          FROM corpus c JOIN probe p USING (ng)
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "t18_token_budget" ->
+      """SELECT lang, doc_id, n_tokens, cum_tokens FROM (
+           SELECT lang, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(sum(len(string_split(text, ' '))) OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM documents)
+         WHERE cum_tokens <= CASE lang WHEN 'en' THEN 2000
+                                       WHEN 'zh' THEN 1000
+                                       ELSE 500 END"""
   )
 }

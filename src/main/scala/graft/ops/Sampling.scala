@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and split assignment.
@@ -58,4 +59,32 @@ object Sampling {
     rates.foldRight(sampled(c, defaultRate)) { case ((k, r), acc) =>
       when(stratum === lit(k), sampled(c, r)).otherwise(acc)
     }
+
+  /** Token-budget corpus mixing: within each stratum keep documents in
+    * the deterministic md5 order until the stratum's cumulative token
+    * count reaches its budget ("give me 2B English tokens, 500M of each
+    * other language"). A doc is kept iff the running sum INCLUDING itself
+    * stays within budget, so the output never exceeds the budget and is a
+    * prefix of the stratified order — raising a budget only ADDS docs.
+    *
+    * Plan: one shuffle (window partitioned by stratum). The running sum
+    * is sequential per stratum by nature, so at 100 TB first cut the
+    * stratum near its budget with [[stratifiedSampled]] (rate ≈
+    * budget/stratum_tokens from table stats) and run this exact pass on
+    * the surviving ~budget-sized slice; the window then sums millions of
+    * rows, not billions.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, stratumCol: String,
+                  tokensCol: Column, budgets: Seq[(String, Long)],
+                  defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldRight(lit(defaultBudget): Column) {
+      case ((k, b), acc) => when(col(stratumCol) === lit(k), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -112,4 +112,40 @@ class AsOfSamplingSpec extends SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("tokenBudget: exact running-sum cut per stratum; prefix property") {
+    val docs = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) "en" else "fr", ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "lang", "text")
+    val toks = size(split(col("text"), " "))
+    val out = Sampling.tokenBudget(docs, "doc_id", "lang", toks,
+      Seq("en" -> 50L), defaultBudget = 30L)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    // never exceeds the budget, and the kept set is the maximal prefix:
+    val byLang = out.groupBy(_._1)
+    assert(byLang("en").map(_._4).max <= 50L)
+    assert(byLang("fr").map(_._4).max <= 30L)
+    // recompute expected prefix on the driver from the same order
+    def hex(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val rows = docs.select(col("doc_id"), col("lang"), toks.cast("long").as("n"))
+      .as[(Long, String, Long)].collect()
+    def expected(lang: String, budget: Long) = {
+      var cum = 0L
+      rows.filter(_._2 == lang).sortBy(r => (hex(r._1), r._1)).takeWhile { r =>
+        cum += r._3; cum <= budget
+      }.map(_._1).toSet
+    }
+    assert(byLang("en").map(_._2).toSet == expected("en", 50L))
+    assert(byLang("fr").map(_._2).toSet == expected("fr", 30L))
+    // raising a budget only ADDS docs (prefix property):
+    val bigger = Sampling.tokenBudget(docs, "doc_id", "lang", toks,
+      Seq("en" -> 120L), defaultBudget = 30L)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(byLang("en").map(_._2).toSet.subsetOf(bigger))
+  }
 }

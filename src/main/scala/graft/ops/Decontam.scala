@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the benchmark side is distinct-ed, hashed to a fixed-width
   * digest, and broadcast — at 100 TB the corpus side streams through one
-  * codegen stage (split -> n-gram transform -> explode -> hash) into a
-  * BroadcastHashJoin; no corpus shuffle except the final per-doc count.
-  * The per-doc distinct is map-side (doc_id, hash) pairs before the join,
-  * so a doc repeating one contaminated n-gram 1000x still counts it once.
+  * codegen stage (split -> n-gram transform -> explode -> hash) straight
+  * into the BroadcastHashJoin, so the join filters BEFORE any corpus
+  * shuffle: only contaminated n-grams (rare by construction) reach the
+  * count-distinct exchange. A doc repeating one contaminated n-gram
+  * 1000x still counts it once — dedup happens in the aggregate, after
+  * the broadcast filter, not in a full-corpus distinct before it.
   */
 object Decontam {
 
@@ -29,9 +31,8 @@ object Decontam {
     corpus
       .select(col(idCol), explode(TextAnalysis.wordNgrams(col(textCol), n)).as("ng"))
       .select(col(idCol), md5(col("ng")).as("ngh"))
-      .distinct()
       .join(broadcast(bench), "ngh")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+      .agg(countDistinct(col("ngh")).as("n_contaminated_ngrams"))
   }
 }

@@ -20,7 +20,8 @@ object DevExplain {
       "q20_cube", "q21_median", "q22_pivot", "t11_splits", "t12_pack",
       "t13_chunk", "q23_skew_join", "t14_stratified",
       "t15_group_sample", "q24_grouping_sets", "q25_event_windows",
-      "t16_repetition", "t17_decontam", "t18_token_budget").foreach { q =>
+      "t16_repetition", "t17_decontam", "t18_token_budget",
+      "t19_vocab").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -748,6 +748,21 @@ object SparkEntry {
         "doc_id", "lang", size(split(col("text"), " ")),
         Seq("en" -> 2000L, "zh" -> 1000L), defaultBudget = 500L)
         .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }),
+
+    // ---- vocabulary induction (top-k by term frequency) -----------------
+    // Tokenizer-vocab building: per-word corpus tf + df, global top-k
+    // (ties at the cut broken by word asc on both engines).
+    // Partial hash agg map-side; the final top-k is TakeOrderedAndProject
+    // (per-partition heap then merge on the driver) — never a full sort.
+    "t19_vocab" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("tf"),
+             countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("word"))
+        .limit(20)
     })
   )
 
@@ -1481,6 +1496,14 @@ object SparkEntry {
            FROM documents)
          WHERE cum_tokens <= CASE lang WHEN 'en' THEN 2000
                                        WHEN 'zh' THEN 1000
-                                       ELSE 500 END"""
+                                       ELSE 500 END""",
+    "t19_vocab" ->
+      """SELECT word, count(*) AS tf,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY word
+         ORDER BY tf DESC, word
+         LIMIT 20"""
   )
 }

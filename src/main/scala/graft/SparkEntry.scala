@@ -763,6 +763,26 @@ object SparkEntry {
              countDistinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("word"))
         .limit(20)
+    }),
+
+    // ---- time-bounded sequential funnel ---------------------------------
+    // view -> click -> purchase, each within 24h of the previous stage's
+    // first qualifying event. Per-user frontier frames shrink with depth.
+    "q26_funnel" -> ((s, dir) => {
+      graft.ops.Funnel.stageCounts(events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), windowSec = 24 * 3600)
+    }),
+
+    // ---- semi-structured extraction (JSON props) -------------------------
+    // Metadata filtering over a JSON column: numeric field extraction +
+    // aggregate, all inside codegen (get_json_object).
+    "q27_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"))
     })
   )
 
@@ -1504,6 +1524,28 @@ object SparkEntry {
                FROM documents)
          GROUP BY word
          ORDER BY tf DESC, word
-         LIMIT 20"""
+         LIMIT 20""",
+    "q26_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS ct
+                    FROM events e JOIN v USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > v.vt
+                      AND e.ts <= v.vt + INTERVAL 24 HOUR GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS pt
+                    FROM events e JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > c.ct
+                      AND e.ts <= c.ct + INTERVAL 24 HOUR GROUP BY 1)
+         SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                (SELECT count(*) FROM v) AS n_users
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'click', (SELECT count(*) FROM c)
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'purchase', (SELECT count(*) FROM p)""",
+    "q27_json" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+         FROM events GROUP BY 1"""
   )
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-bounded sequential funnel over an event log: how many users
+  * reached stage k, where each stage is the user's FIRST event of that
+  * type occurring strictly after their previous-stage timestamp and
+  * within `windowSec` of it (view -> click -> purchase within 24h each).
+  *
+  * Scale shape: one pass per stage over the events projection, each a
+  * shuffle keyed on the user column — the per-user frontier frame
+  * (user, ts) shrinks monotonically with stage depth, so later joins get
+  * cheaper, and the events scan is column-pruned to (user, type, ts).
+  * No windows over the whole log and no per-user event collection: peak
+  * state is one row per surviving user.
+  */
+object Funnel {
+
+  /** One row per stage: (stage_idx, stage, n_users). */
+  def stageCounts(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, stages: Seq[String], windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).as("ts"))
+    val first = ev.filter(col("t") === stages.head)
+      .groupBy("u").agg(min(col("ts")).as("frontier"))
+    val frontiers = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("t") === stage)
+        .join(prev, "u")
+        .filter(col("ts") > col("frontier") &&
+          col("ts") <= col("frontier") + expr(s"INTERVAL $windowSec SECONDS"))
+        .groupBy("u").agg(min(col("ts")).as("frontier"))
+    }
+    frontiers.zip(stages).zipWithIndex.map { case ((f, stage), i) =>
+      f.select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+        count(lit(1)).as("n_users"))
+    }.reduce(_.union(_))
+  }
+}

@@ -349,4 +349,32 @@ class OpsSpec extends SparkTestBase {
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("funnel: stage order and per-stage time bound enforced") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes all three in order, inside 24h windows
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      // u2: click 25h after view -> out of window
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-02 01:00:00")),
+      // u3: click with no prior view -> no stages at all
+      (3L, "click", ts("2024-01-01 00:00:00")),
+      // u4: purchase 30h after click -> stops at click
+      (4L, "view", ts("2024-01-01 00:00:00")),
+      (4L, "click", ts("2024-01-01 01:00:00")),
+      (4L, "purchase", ts("2024-01-02 07:00:00")),
+      // u5: a purchase BEFORE the click must not count; the later one does
+      (5L, "purchase", ts("2024-01-01 00:00:00")),
+      (5L, "view", ts("2024-01-01 01:00:00")),
+      (5L, "click", ts("2024-01-01 02:00:00")),
+      (5L, "purchase", ts("2024-01-01 03:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.ops.Funnel.stageCounts(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), windowSec = 24 * 3600)
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r == Map("view" -> 4L, "click" -> 3L, "purchase" -> 2L))
+  }
 }

@@ -783,6 +783,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
              sum(col("k")).as("sum_k"),
              max(col("k")).as("max_k"))
+    }),
+
+    // ---- inactivity-gap sessionization ----------------------------------
+    // 12h-gap sessions per user (the time-gap counterpart of q6's BIO
+    // token sessionize); microsecond-exact boundaries.
+    "q28_gap_sessions" -> ((s, dir) => {
+      graft.ops.Sessionize.userStats(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", "event_id", gapUs = 12L * 3600 * 1000000)
     })
   )
 
@@ -1546,6 +1555,28 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_rows,
                 CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                 max(CAST(props->>'$.k' AS BIGINT)) AS max_k
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "q28_gap_sessions" ->
+      """WITH g AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         s AS (
+           SELECT user_id,
+                  sum(CASE WHEN prev IS NULL
+                             OR tus - prev > CAST(43200000000 AS BIGINT)
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g),
+         per_sess AS (
+           SELECT user_id, session_id, count(*) AS n
+           FROM s GROUP BY 1, 2)
+         SELECT user_id,
+                CAST(max(session_id) AS BIGINT) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                max(n) AS max_session_events
+         FROM per_sess GROUP BY 1"""
   )
 }

@@ -377,4 +377,26 @@ class OpsSpec extends SparkTestBase {
       .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
     assert(r == Map("view" -> 4L, "click" -> 3L, "purchase" -> 2L))
   }
+
+  test("gap sessionize: boundary strictly-greater, per-user isolation") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: gaps 30min, exactly 1h (NOT a boundary: > is strict), 1h1s
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-01-01 00:30:00"), 11L),
+      (1L, ts("2024-01-01 01:30:00"), 12L),
+      (1L, ts("2024-01-01 02:30:01"), 13L),
+      // u2: single event
+      (2L, ts("2024-01-01 00:00:00"), 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val gap1h = 3600L * 1000000
+    val stats = graft.ops.Sessionize.userStats(ev, "user_id", "ts", "event_id", gap1h)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(stats(1L) == ((2L, 4L, 3L))) // sessions: {10,11,12}, {13}
+    assert(stats(2L) == ((1L, 1L, 1L)))
+    val ids = graft.ops.Sessionize.byGap(ev, "user_id", "ts", "event_id", gap1h)
+      .select("event_id", "session_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ids == Map(10L -> 1L, 11L -> 1L, 12L -> 1L, 13L -> 2L, 20L -> 1L))
+  }
 }

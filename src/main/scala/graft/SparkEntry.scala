@@ -792,8 +792,147 @@ object SparkEntry {
       graft.ops.Sessionize.userStats(
         events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
         "user_id", "ts", "event_id", gapUs = 12L * 3600 * 1000000)
+    }),
+
+    // ---- 2-hop graph neighborhood expansion (seed frontier) -------------
+    // Parts co-ordered with the parts co-ordered with a seed part, minus
+    // direct neighbors — the BFS frontier-expansion kernel over the
+    // materialized co-occurrence graph. Seeds stay a broadcast side; the
+    // distinct collapses the frontier before the anti-join.
+    "q29_path2" -> ((s, dir) => {
+      val seeds = part(s, dir).filter(col("p_size") === 25)
+        .select(col("p_partkey").as("vertex"))
+      graft.ops.Graph.twoHopFromSeeds(coEdges(s, dir), broadcast(seeds))
+    }),
+
+    // ---- fixed-point PageRank (iterative DataFrame joins) ---------------
+    // 5 damped iterations over the co-order graph in scaled-integer
+    // arithmetic: exact associative long sums make the distributed result
+    // bit-identical to the unrolled SQL oracle regardless of shuffle order.
+    "q30_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(coEdges(s, dir), iterations = 5)),
+
+    // ---- weekly cohort retention --------------------------------------
+    // Integer-exact calendar math (epoch-microsecond div), per-user
+    // distinct-activity collapse BEFORE the window so the windowed frame
+    // is (user, week)-sized, not event-sized.
+    "q31_cohort" -> ((s, dir) => {
+      val activity = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 div 7")
+            .as("week"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id"))
+      activity.withColumn("cohort_week", min(col("week")).over(w))
+        .withColumn("week_offset", col("week") - col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- fixed-width histogram ------------------------------------------
+    // One hash aggregation, bin id from a single IEEE division + floor —
+    // deterministic across engines, zero extra shuffle beyond the group.
+    "q32_histogram" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 25).as("bin"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- Pearson correlation from exact integer moments -----------------
+    // value quantized to whole units (round-half-up, both engines agree on
+    // positives), then all five moments are exact associative long sums;
+    // the only floating-point work is the final closed form.
+    "q33_corr" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("x", round(col("value")).cast("long"))
+        .withColumn("y", hour(col("ts")).cast("long"))
+      e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+            6).as("corr_xy"))
+    }),
+
+    // ---- per-group z-score outliers (training-data quality gate) --------
+    // Two-pass: exact integer moments per group (tiny frame, broadcast
+    // back), then a codegen-only map stage — no second shuffle of the
+    // corpus. Filter applies to the ROUNDED z so both engines cut
+    // identically.
+    "t20_zscore" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val stats = d.groupBy("lang").agg(
+        count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      d.join(broadcast(stats), "lang")
+        .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("z", round(
+          (col("n_chars").cast("double") - col("mean"))
+            / sqrt(col("sxx").cast("double") / col("n").cast("double")
+              - col("mean") * col("mean")), 6))
+        .filter(abs(col("z")) > 2)
+        .select("doc_id", "lang", "z")
     })
   )
+
+  /** Part co-occurrence graph: symmetrized distinct (a, b) part pairs that
+    * appear in the same order. Order groups are naturally tiny (≤7 items),
+    * so the per-order pair blowup is bounded by construction — the same
+    * shape as entity co-mention edges per document.
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    graft.ops.Graph.symmetrize(pairs)
+  }
+
+  /** DuckDB CTE block materializing the same co-occurrence graph. */
+  private val coEdgeCtes: String =
+    """WITH pairs AS (
+         SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         FROM lineitem x JOIN lineitem y
+           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       edges AS (SELECT a AS src, b AS dst FROM pairs
+                 UNION ALL SELECT b, a FROM pairs)"""
+
+  /** Unrolled fixed-point PageRank oracle (k iterations, scale 1e9),
+    * mirroring Graph.pageRank's integer arithmetic exactly.
+    */
+  private def pageRankOracle(k: Int): String = {
+    val prelude = coEdgeCtes +
+      """,
+       odeg AS (SELECT src AS vertex, count(*) AS outdeg FROM edges GROUP BY 1),
+       verts AS (
+         SELECT u.vertex, COALESCE(o.outdeg, 0) AS outdeg
+         FROM (SELECT DISTINCT vertex FROM (
+                 SELECT src AS vertex FROM edges
+                 UNION ALL SELECT dst FROM edges)) u
+         LEFT JOIN odeg o USING (vertex)),
+       params AS (SELECT count(*) AS n FROM verts),
+       it0 AS (SELECT vertex, outdeg,
+                      CAST(1000000000 AS BIGINT) // (SELECT n FROM params) AS pr
+               FROM verts)"""
+    val iters = (1 to k).map { i =>
+      s""",
+       it$i AS (
+         SELECT v.vertex, v.outdeg,
+                ((15 * CAST(1000000000 AS BIGINT)) // 100)
+                  // (SELECT n FROM params)
+                + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100 AS pr
+         FROM verts v LEFT JOIN (
+           SELECT e.dst AS vertex, SUM(p.pr // p.outdeg) AS m
+           FROM edges e JOIN it${i - 1} p ON p.vertex = e.src
+           GROUP BY 1) s USING (vertex))"""
+    }.mkString
+    prelude + iters + s"\n       SELECT vertex, pr AS pr_int FROM it$k"
+  }
 
   // Spark column helper to keep groupBy(...) varargs tidy.
   private def $c(name: String) = col(name)
@@ -1577,6 +1716,70 @@ object SparkEntry {
                 CAST(max(session_id) AS BIGINT) AS n_sessions,
                 CAST(sum(n) AS BIGINT) AS n_events,
                 max(n) AS max_session_events
-         FROM per_sess GROUP BY 1"""
+         FROM per_sess GROUP BY 1""",
+    "q29_path2" -> (coEdgeCtes +
+      """,
+         seeds AS (SELECT p_partkey AS vertex FROM part WHERE p_size = 25),
+         hop1 AS (SELECT s.vertex, e.dst AS mid
+                  FROM seeds s JOIN edges e ON e.src = s.vertex),
+         hop2 AS (SELECT DISTINCT h.vertex, e.dst AS nbr2
+                  FROM hop1 h JOIN edges e ON e.src = h.mid
+                  WHERE e.dst <> h.vertex)
+         SELECT h.vertex, count(*) AS n_2hop
+         FROM hop2 h
+         WHERE NOT EXISTS (SELECT 1 FROM hop1 d
+                           WHERE d.vertex = h.vertex AND d.mid = h.nbr2)
+         GROUP BY 1"""),
+    "q30_pagerank" -> pageRankOracle(5),
+    "q31_cohort" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 // 7 AS week
+           FROM events),
+         c AS (
+           SELECT user_id, week,
+                  min(week) OVER (PARTITION BY user_id) AS cohort_week
+           FROM a)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM c GROUP BY 1, 2""",
+    "q32_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "q33_corr" ->
+      """WITH m AS (
+           SELECT event_type,
+                  CAST(round(value) AS BIGINT) AS x,
+                  CAST(hour(ts) AS BIGINT) AS y
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx,
+                  CAST(sum(y*y) AS BIGINT) AS syy,
+                  CAST(sum(x*y) AS BIGINT) AS sxy
+           FROM m GROUP BY 1)
+         SELECT event_type, n,
+                round(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                         * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_xy
+         FROM s""",
+    "t20_zscore" ->
+      """WITH st AS (
+           SELECT lang, count(*) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sx,
+                  CAST(sum(n_chars*n_chars) AS BIGINT) AS sxx
+           FROM documents GROUP BY 1),
+         z AS (
+           SELECT d.doc_id, d.lang,
+                  round((CAST(d.n_chars AS DOUBLE)
+                         - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                        / sqrt(CAST(sxx AS DOUBLE)/CAST(n AS DOUBLE)
+                               - (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))
+                                 * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))),
+                        6) AS z
+           FROM documents d JOIN st USING (lang))
+         SELECT doc_id, lang, z FROM z WHERE abs(z) > 2"""
   )
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over materialized edge lists — the "graph materialize"
+  * leg of the north rule, generalized beyond the KB entity graph so any
+  * (src, dst) frame (entity co-mention edges, triple subject→object edges,
+  * co-occurrence graphs) gets the same scale-safe kernels.
+  *
+  * Scale notes (10^12-edge design):
+  *  - every kernel is a sequence of equi-joins + hash aggregations — no
+  *    collect, no cross join, no per-vertex driver loop;
+  *  - `twoHopFromSeeds` is frontier expansion (the BFS building block):
+  *    cost is O(|frontier| · avg-degree) per hop, never O(|V|²); the
+  *    distinct() between hops collapses the frontier BEFORE the next join;
+  *  - `pageRank` is the GraphFrames-style iterative DataFrame join loop
+  *    with a `localCheckpoint(true)` per iteration (Catalyst lineage would
+  *    otherwise grow exponentially — see CLAUDE.md invariant);
+  *  - determinism across engines and shuffle orders: PageRank runs in
+  *    FIXED-POINT integer arithmetic (rank scaled by `scale`, integer
+  *    division) so every sum is an exact associative long sum — the same
+  *    iteration unrolled in ANSI SQL reproduces it bit-for-bit, which is
+  *    what lets a DuckDB oracle hash-match a 5-iteration distributed run.
+  */
+object Graph {
+
+  /** Directed edge list from an ordered undirected pair table (a < b). */
+  def symmetrize(pairs: DataFrame, a: String = "a", b: String = "b"): DataFrame =
+    pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionAll(pairs.select(col(b).as("src"), col(a).as("dst")))
+
+  /** Per-vertex out-degree of `edges(src, dst)`. */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("outdeg"))
+
+  /** Exact 2-hop neighborhoods of a seed set: for each seed, the count of
+    * vertices reachable in exactly two hops that are NOT the seed itself
+    * and NOT already direct neighbors (friend-of-friend semantics).
+    *
+    * `seeds` must have a single `vertex` column. Plan shape: two joins on
+    * the edge key, a distinct to collapse multiplicity before the
+    * anti-join, one final hash aggregation. The frontier frames stay
+    * proportional to the seed neighborhood, never to |V|.
+    */
+  def twoHopFromSeeds(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val hop1 = seeds.join(edges, seeds("vertex") === edges("src"))
+      .select(seeds("vertex"), col("dst").as("mid"))
+    val hop2 = hop1
+      .join(edges.select(col("src").as("mid"), col("dst").as("nbr2")), "mid")
+      .filter(col("nbr2") =!= col("vertex"))
+      .select("vertex", "nbr2")
+      .distinct()
+    hop2.join(hop1.select(col("vertex"), col("mid").as("nbr2")),
+        Seq("vertex", "nbr2"), "left_anti")
+      .groupBy("vertex")
+      .agg(count(lit(1)).as("n_2hop"))
+  }
+
+  /** Deterministic fixed-point PageRank over `edges(src, dst)`.
+    *
+    * rank := base + 0.85 · Σ_in rank(u)/outdeg(u), with every quantity a
+    * long scaled by `scale` and every division integral — the standard
+    * damped iteration quantized so that the result is independent of
+    * shuffle order, partitioning and engine (dangling vertices keep the
+    * base term only; in a symmetrized graph none exist). Returns
+    * (vertex, pr_int) where pr ≈ pr_int / scale.
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               scale: Long = 1000000000L): DataFrame = {
+    val verts = edges.select(col("src").as("vertex"))
+      .unionAll(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .join(outDegrees(edges), Seq("vertex"), "left")
+      .na.fill(0L, Seq("outdeg"))
+      .localCheckpoint(true)
+    val n = verts.count()
+    val base = (15L * scale / 100L) / n
+
+    var pr = verts.withColumn("pr", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      val sums = edges
+        .join(pr.filter(col("outdeg") > 0)
+          .select(col("vertex").as("src"), expr("pr div outdeg").as("c")), "src")
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("c")).as("m"))
+      pr = verts.join(sums, Seq("vertex"), "left")
+        .select(col("vertex"), col("outdeg"),
+          (lit(base) + expr("85 * coalesce(m, CAST(0 AS BIGINT)) div 100"))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("vertex"), col("pr").as("pr_int"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Graph kernels: 2-hop frontier expansion and fixed-point PageRank. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Path graph 1-2-3-4 plus triangle 4-5-6 (undirected pairs a < b).
+  private def pairs = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    .toDF("a", "b")
+
+  test("twoHopFromSeeds counts exactly-2-hop, non-neighbor vertices") {
+    val edges = Graph.symmetrize(pairs)
+    val seeds = Seq(1L, 4L).toDF("vertex")
+    val got = Graph.twoHopFromSeeds(edges, seeds)
+      .as[(Long, Long)].collect().toMap
+    // from 1: 2-hop = {3}; from 4: via 3 -> {2}, via 5/6 -> each other
+    // (already direct neighbors of 4) => {2}
+    assert(got === Map(1L -> 1L, 4L -> 1L))
+  }
+
+  test("pageRank is deterministic across partitionings and sums mass") {
+    val edges = Graph.symmetrize(pairs)
+    val pr1 = Graph.pageRank(edges, 5).as[(Long, Long)].collect().toMap
+    val pr2 = Graph.pageRank(edges.repartition(7), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(pr1 === pr2)
+    assert(pr1.size === 6)
+    // hub 4 (degree 3) outranks every degree-2 vertex
+    assert(Seq(1L, 2L, 3L, 5L, 6L).forall(v => pr1(4L) > pr1(v)))
+    // leaf 1 (degree 1) holds the least rank
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(v => pr1(1L) < pr1(v)))
+    // total fixed-point mass stays within integer-truncation slack of 1.0
+    val total = pr1.values.sum
+    assert(total <= 1000000000L && total > 990000000L)
+  }
+
+  test("pageRank hand-checked one iteration on a 2-cycle") {
+    // 1 <-> 2: pr0 = 5e8 each; contrib = 5e8; pr1 = 15e8/100/2... base
+    // = ((15 * 1e9) div 100) div 2 = 75_000_000; damp = 85*5e8 div 100
+    // = 425_000_000 => 500_000_000 exactly (stationary).
+    val edges = Graph.symmetrize(Seq((1L, 2L)).toDF("a", "b"))
+    val pr = Graph.pageRank(edges, 1).as[(Long, Long)].collect().toMap
+    assert(pr === Map(1L -> 500000000L, 2L -> 500000000L))
+  }
+}

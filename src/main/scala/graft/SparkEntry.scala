@@ -875,6 +875,18 @@ object SparkEntry {
               - col("mean") * col("mean")), 6))
         .filter(abs(col("z")) > 2)
         .select("doc_id", "lang", "z")
+    }),
+
+    // ---- bloom pre-shuffle semi-join ------------------------------------
+    // Explicit runtime-filter shape: the big side is pruned by a codegen
+    // might_contain BEFORE its shuffle; the trailing exact semi-join only
+    // sees survivors, so results equal the plain semi-join.
+    "q34_bloom_join" -> ((s, dir) => {
+      val keys = part(s, dir).filter(col("p_size") === 25)
+        .select(col("p_partkey").as("l_partkey"))
+      graft.ops.BloomJoin.semiJoin(
+        lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey"),
+        keys, "l_partkey", expectedKeys = 1000L)
     })
   )
 
@@ -1780,6 +1792,9 @@ object SparkEntry {
                                  * (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))),
                         6) AS z
            FROM documents d JOIN st USING (lang))
-         SELECT doc_id, lang, z FROM z WHERE abs(z) > 2"""
+         SELECT doc_id, lang, z FROM z WHERE abs(z) > 2""",
+    "q34_bloom_join" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)"""
   )
 }

@@ -399,4 +399,35 @@ class OpsSpec extends SparkTestBase {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(ids == Map(10L -> 1L, 11L -> 1L, 12L -> 1L, 13L -> 2L, 20L -> 1L))
   }
+
+  test("bloom semi-join equals plain semi-join, probe prunes the scan") {
+    import org.apache.spark.sql.functions.col
+    val large = (1L to 2000L).map(i => (i % 400, s"row$i"))
+      .toDF("k", "payload")
+    val small = Seq(3L, 7L, 399L, 9999L).toDF("k") // 9999 matches nothing
+    val got = graft.ops.BloomJoin.semiJoin(large, small, "k",
+      expectedKeys = 16L)
+    val want = large.join(small, Seq("k"), "left_semi")
+    assert(got.collect().toSet === want.collect().toSet)
+    assert(got.count() === 15L) // 3 live keys x 5 rows each
+    // tiny bloom (16 keys): a missing key must still never produce rows
+    val none = graft.ops.BloomJoin.semiJoin(
+      large, Seq(123456L).toDF("k"), "k", expectedKeys = 16L)
+    assert(none.count() === 0L)
+    // the probe survives into the physical plan as a pre-shuffle filter on
+    // the large side (a LocalRelation would constant-fold it away, so
+    // assert on a parquet-backed scan)
+    val li = spark.read.parquet(s"$sfUnit/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val keys = Seq(1L, 2L).toDF("l_partkey")
+    val planned = graft.ops.BloomJoin.semiJoin(li, keys, "l_partkey", 16L)
+    assert(planned.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+    // null keys on the large side are dropped, as in a plain semi-join
+    val withNull = large.union(Seq((Option.empty[Long], "nul"))
+      .toDF("k", "payload").select(col("k").cast("long"), col("payload")))
+    val gotNull = graft.ops.BloomJoin.semiJoin(withNull, small, "k",
+      expectedKeys = 16L)
+    assert(gotNull.count() === 15L)
+  }
 }

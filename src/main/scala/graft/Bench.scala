@@ -131,6 +131,7 @@ object Bench {
     "q13_interval_overlap", "q16_asof", "q17_rollup", "q18_range_join",
     "t1_exact_dedup", "t6_ngram_neardup", "t7_minhash_lsh", "t8_simhash",
     "t11_splits", "e1_ann_topk", "e2_ann_lsh", "e4_ann_ivf",
+    "q29_path2", "q30_pagerank", "q34_bloom_join",
     "kg_spans", "kg_sections", "kg_triples")
 
   /** The KB-population job benched for scaling: docs (optionally

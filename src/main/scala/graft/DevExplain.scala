@@ -21,7 +21,9 @@ object DevExplain {
       "t13_chunk", "q23_skew_join", "t14_stratified",
       "t15_group_sample", "q24_grouping_sets", "q25_event_windows",
       "t16_repetition", "t17_decontam", "t18_token_budget",
-      "t19_vocab", "q26_funnel", "q27_json", "q28_gap_sessions").foreach { q =>
+      "t19_vocab", "q26_funnel", "q27_json", "q28_gap_sessions",
+      "q29_path2", "q30_pagerank", "q31_cohort", "q32_histogram",
+      "q33_corr", "t20_zscore", "q34_bloom_join").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -45,10 +45,15 @@ object Graph {
     * proportional to the seed neighborhood, never to |V|.
     */
   def twoHopFromSeeds(edges: DataFrame, seeds: DataFrame): DataFrame = {
-    val hop1 = seeds.join(edges, seeds("vertex") === edges("src"))
+    // edges feeds two joins and hop1 feeds two consumers — materialize at
+    // the stage boundary or every branch re-derives the whole edge list
+    // (CLAUDE.md multi-branch invariant)
+    val e = edges.localCheckpoint(true)
+    val hop1 = seeds.join(e, seeds("vertex") === e("src"))
       .select(seeds("vertex"), col("dst").as("mid"))
+      .localCheckpoint(true)
     val hop2 = hop1
-      .join(edges.select(col("src").as("mid"), col("dst").as("nbr2")), "mid")
+      .join(e.select(col("src").as("mid"), col("dst").as("nbr2")), "mid")
       .filter(col("nbr2") =!= col("vertex"))
       .select("vertex", "nbr2")
       .distinct()
@@ -69,10 +74,13 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000L): DataFrame = {
-    val verts = edges.select(col("src").as("vertex"))
-      .unionAll(edges.select(col("dst").as("vertex")))
+    // the edge list is read every iteration — materialize it once instead
+    // of re-deriving the upstream (self-join + distinct) per iteration
+    val e = edges.localCheckpoint(true)
+    val verts = e.select(col("src").as("vertex"))
+      .unionAll(e.select(col("dst").as("vertex")))
       .distinct()
-      .join(outDegrees(edges), Seq("vertex"), "left")
+      .join(outDegrees(e), Seq("vertex"), "left")
       .na.fill(0L, Seq("outdeg"))
       .localCheckpoint(true)
     val n = verts.count()
@@ -80,7 +88,7 @@ object Graph {
 
     var pr = verts.withColumn("pr", lit(scale / n))
     for (_ <- 1 to iterations) {
-      val sums = edges
+      val sums = e
         .join(pr.filter(col("outdeg") > 0)
           .select(col("vertex").as("src"), expr("pr div outdeg").as("c")), "src")
         .groupBy(col("dst").as("vertex"))

@@ -23,7 +23,8 @@ object DevExplain {
       "t16_repetition", "t17_decontam", "t18_token_budget",
       "t19_vocab", "q26_funnel", "q27_json", "q28_gap_sessions",
       "q29_path2", "q30_pagerank", "q31_cohort", "q32_histogram",
-      "q33_corr", "t20_zscore", "q34_bloom_join").foreach { q =>
+      "q33_corr", "t20_zscore", "q34_bloom_join",
+      "q35_triangles").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -887,7 +887,14 @@ object SparkEntry {
       graft.ops.BloomJoin.semiJoin(
         lineitem(s, dir).select("l_orderkey", "l_partkey", "l_suppkey"),
         keys, "l_partkey", expectedKeys = 1000L)
-    })
+    }),
+
+    // ---- triangle / wedge census (degree-ordered orientation) ----------
+    // Each triangle counted once as an oriented a->b->c path closed by
+    // a->c; the (degree, id) orientation bounds forward degree so hub
+    // vertices cannot blow up the wedge join.
+    "q35_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleStats(coEdges(s, dir)))
   )
 
   /** Part co-occurrence graph: symmetrized distinct (a, b) part pairs that
@@ -1795,6 +1802,25 @@ object SparkEntry {
          SELECT doc_id, lang, z FROM z WHERE abs(z) > 2""",
     "q34_bloom_join" ->
       """SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
-         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)"""
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 25)""",
+    "q35_triangles" -> (coEdgeCtes +
+      """,
+         deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY 1),
+         orient AS (
+           SELECT e.src, e.dst FROM edges e
+           JOIN deg ds ON ds.v = e.src
+           JOIN deg dd ON dd.v = e.dst
+           WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+         tri AS (
+           SELECT count(*) AS t FROM orient e1
+           JOIN orient e2 ON e1.dst = e2.src
+           WHERE EXISTS (SELECT 1 FROM orient e3
+                         WHERE e3.src = e1.src AND e3.dst = e2.dst)),
+         wedges AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS w
+                    FROM deg)
+         SELECT (SELECT w FROM wedges) AS n_wedges,
+                CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+                round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6)
+                  AS global_cc""")
   )
 }

@@ -38,6 +38,22 @@ class GraphSpec extends SparkTestBase {
     assert(total <= 1000000000L && total > 990000000L)
   }
 
+  test("triangleStats: one triangle, seven wedges on the fixture graph") {
+    val edges = Graph.symmetrize(pairs)
+    val r = Graph.triangleStats(edges).collect()(0)
+    // degrees: 1->1, 2->2, 3->2, 4->3, 5->2, 6->2; wedges = 0+1+1+3+1+1
+    assert(r.getLong(0) === 7L)   // n_wedges
+    assert(r.getLong(1) === 1L)   // n_triangles (4-5-6)
+    assert(math.abs(r.getDouble(2) - 3.0 / 7.0) < 1e-5)
+  }
+
+  test("triangleStats counts K4 as four triangles") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val r = Graph.triangleStats(Graph.symmetrize(k4.toDF("a", "b")))
+      .collect()(0)
+    assert(r.getLong(1) === 4L)
+  }
+
   test("pageRank hand-checked one iteration on a 2-cycle") {
     // 1 <-> 2: pr0 = 5e8 each; contrib = 5e8; pr1 = 15e8/100/2... base
     // = ((15 * 1e9) div 100) div 2 = 75_000_000; damp = 85*5e8 div 100

@@ -894,7 +894,42 @@ object SparkEntry {
     // a->c; the (degree, id) orientation bounds forward degree so hub
     // vertices cannot blow up the wedge join.
     "q35_triangles" -> ((s, dir) =>
-      graft.ops.Graph.triangleStats(coEdges(s, dir)))
+      graft.ops.Graph.triangleStats(coEdges(s, dir))),
+
+    // ---- entity-graph rank (KG graph-materialize leg) -------------------
+    // Co-mention edges between gazetteer entities (distinct mentions
+    // sharing a document — the per-doc pair blowup is bounded by mentions
+    // per doc), then the same fixed-point PageRank kernel as q30. The
+    // trie mention set is deterministic, so the whole entity graph + rank
+    // is SQL-oracled end-to-end.
+    "kg_entity_rank" -> ((s, dir) => {
+      val m = Pipeline.mentions(s, dir).toDF()
+        .select(col("doc_id"), col("mention")).distinct()
+      val pairs = m.as("x").join(m.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("x.mention") < col("y.mention"))
+        .select(col("x.mention").as("a"), col("y.mention").as("b"))
+        .distinct()
+      graft.ops.Graph.pageRank(graft.ops.Graph.symmetrize(pairs), 5)
+        .select(col("vertex").as("mention"), col("pr_int"))
+    }),
+
+    // ---- analytic window-function suite ---------------------------------
+    // lag/lead/rank/percent_rank/cume_dist/ntile over ONE window spec, so
+    // Spark plans a single sort+Window pass per partition key; the unique
+    // orderkey tie-break keeps every rank family deterministic.
+    "q36_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        rank().over(w).as("rnk"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+    })
   )
 
   /** Part co-occurrence graph: symmetrized distinct (a, b) part pairs that
@@ -921,11 +956,13 @@ object SparkEntry {
        edges AS (SELECT a AS src, b AS dst FROM pairs
                  UNION ALL SELECT b, a FROM pairs)"""
 
-  /** Unrolled fixed-point PageRank oracle (k iterations, scale 1e9),
-    * mirroring Graph.pageRank's integer arithmetic exactly.
+  /** Unrolled fixed-point PageRank oracle body (k iterations, scale 1e9),
+    * mirroring Graph.pageRank's integer arithmetic exactly. Composes onto
+    * any prior CTE chain that defines `edges(src, dst)`; the caller
+    * appends its own final SELECT over `it<k>`.
     */
-  private def pageRankOracle(k: Int): String = {
-    val prelude = coEdgeCtes +
+  private def pageRankIters(k: Int): String = {
+    val prelude =
       """,
        odeg AS (SELECT src AS vertex, count(*) AS outdeg FROM edges GROUP BY 1),
        verts AS (
@@ -950,7 +987,7 @@ object SparkEntry {
            FROM edges e JOIN it${i - 1} p ON p.vertex = e.src
            GROUP BY 1) s USING (vertex))"""
     }.mkString
-    prelude + iters + s"\n       SELECT vertex, pr AS pr_int FROM it$k"
+    prelude + iters
   }
 
   // Spark column helper to keep groupBy(...) varargs tidy.
@@ -1749,7 +1786,8 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM hop1 d
                            WHERE d.vertex = h.vertex AND d.mid = h.nbr2)
          GROUP BY 1"""),
-    "q30_pagerank" -> pageRankOracle(5),
+    "q30_pagerank" -> (coEdgeCtes + pageRankIters(5) +
+      "\n         SELECT vertex, pr AS pr_int FROM it5"),
     "q31_cohort" ->
       """WITH a AS (
            SELECT DISTINCT user_id,
@@ -1821,6 +1859,31 @@ object SparkEntry {
          SELECT (SELECT w FROM wedges) AS n_wedges,
                 CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
                 round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6)
-                  AS global_cc""")
+                  AS global_cc"""),
+    "q36_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                CAST(rank() OVER w AS INTEGER) AS rnk,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "kg_entity_rank" -> (trieCtes +
+      """,
+         ments AS (
+           SELECT DISTINCT doc_id, mention FROM (
+             SELECT doc_id, mention FROM takes
+             UNION ALL SELECT doc_id, mention FROM unis)),
+         mpairs AS (
+           SELECT DISTINCT x.mention AS a, y.mention AS b
+           FROM ments x JOIN ments y
+             ON x.doc_id = y.doc_id AND x.mention < y.mention),
+         edges AS (SELECT a AS src, b AS dst FROM mpairs
+                   UNION ALL SELECT b, a FROM mpairs)""" +
+      pageRankIters(5) +
+      "\n         SELECT vertex AS mention, pr AS pr_int FROM it5")
   )
 }

@@ -65,4 +65,59 @@ class StreamingSpec extends SparkTestBase {
     Incremental.run(spark, docs, dir, numBatches = 1) // no new work
     assert(t.triples.latestSnapshot.get == v1)
   }
+
+  test("streaming gap sessionize: watermark-closed sessions equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.StreamKb.sessionize(
+      mem.toDS(), gapSec = 1800, watermarkDelay = "0 seconds")
+    val qname = "closed_sessions_" + System.nanoTime()
+    val q = sessions.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      // u1: two sessions (gap 50 min between 00:10 and 01:00); u2: one
+      mem.addData((1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:10:00")), (2L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // intra-batch close emitted immediately, before any timeout
+      val early = spark.table(qname).as[(Long, java.sql.Timestamp,
+        java.sql.Timestamp, Long)].collect().toSet
+      assert(early.contains((1L, ts("2024-01-01 00:00:00"),
+        ts("2024-01-01 00:10:00"), 2L)))
+      // far-future rows advance the watermark past every open timeout;
+      // the extra add gives the no-data timeout batch a trigger
+      mem.addData((99L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table(qname).as[(Long, java.sql.Timestamp,
+        java.sql.Timestamp, Long)].collect().toSet
+        .filter(_._1 != 99L)
+      val want = Set(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L),
+        (1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00"), 1L),
+        (2L, ts("2024-01-01 00:05:00"), ts("2024-01-01 00:05:00"), 1L))
+      assert(got === want)
+
+      // batch twin agrees: same sessions from ops.Sessionize.byGap
+      val ev = Seq((1L, ts("2024-01-01 00:00:00"), 1L),
+        (1L, ts("2024-01-01 00:10:00"), 2L), (2L, ts("2024-01-01 00:05:00"), 3L),
+        (1L, ts("2024-01-01 01:00:00"), 4L)).toDF("user_id", "ts", "event_id")
+      val batch = graft.ops.Sessionize.byGap(ev, "user_id", "ts", "event_id",
+          gapUs = 1800L * 1000000)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"),
+          count(lit(1)).as("n"))
+        .select("user_id", "s", "e", "n")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(batch === want)
+    } finally q.stop()
+  }
 }

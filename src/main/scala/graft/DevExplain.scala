@@ -24,7 +24,8 @@ object DevExplain {
       "t19_vocab", "q26_funnel", "q27_json", "q28_gap_sessions",
       "q29_path2", "q30_pagerank", "q31_cohort", "q32_histogram",
       "q33_corr", "t20_zscore", "q34_bloom_join",
-      "q35_triangles").foreach { q =>
+      "q35_triangles", "kg_entity_rank", "q36_window_suite",
+      "q37_collect", "q38_star_join").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -929,6 +929,43 @@ object SparkEntry {
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"),
         ntile(4).over(w).as("quartile"))
+    }),
+
+    // ---- array aggregation rendered canonically --------------------------
+    // Per-group top-3 collected into a SORTED array (canonical order, so
+    // the collect is shuffle-order-independent), rendered as JSON for a
+    // cross-engine comparable string.
+    "q37_collect" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("lang")
+        .agg(to_json(sort_array(collect_list(col("doc_id")))).as("top_docs"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- star-schema multi-join ------------------------------------------
+    // region -> nation -> customer -> orders -> lineitem revenue rollup.
+    // Honest 100 TB shape: the two fact-fact joins (lineitem-orders,
+    // orders-customer) are key shuffles (AQE upgrades them to broadcast
+    // at small sf); only the true dimensions (nation, region) get a
+    // broadcast hint. Filters sit on the fact scans so they push down.
+    "q38_star_join" -> ((s, dir) => {
+      val r = region(s, dir).filter(col("r_name") === "ASIA")
+      val n = nation(s, dir)
+      val c = customer(s, dir)
+      val o = orders(s, dir).filter(col("o_orderstatus") =!= "F")
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
     })
   )
 
@@ -1884,6 +1921,28 @@ object SparkEntry {
          edges AS (SELECT a AS src, b AS dst FROM mpairs
                    UNION ALL SELECT b, a FROM mpairs)""" +
       pageRankIters(5) +
-      "\n         SELECT vertex AS mention, pr AS pr_int FROM it5")
+      "\n         SELECT vertex AS mention, pr AS pr_int FROM it5"),
+    "q37_collect" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents)
+         SELECT lang,
+                CAST(to_json(list_sort(list(doc_id))) AS VARCHAR) AS top_docs,
+                count(*) AS n
+         FROM r WHERE rn <= 3 GROUP BY 1""",
+    "q38_star_join" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND o_orderstatus <> 'F'
+         GROUP BY 1"""
   )
 }

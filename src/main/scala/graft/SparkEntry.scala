@@ -896,6 +896,17 @@ object SparkEntry {
     "q35_triangles" -> ((s, dir) =>
       graft.ops.Graph.triangleStats(coEdges(s, dir))),
 
+    // ---- bounded BFS reachability (iterative frontier + visited set) ----
+    // Vertices within <=3 hops of each seed: per round only the NEW
+    // frontier joins the edge list (anti-join vs visited), so saturated
+    // neighborhoods stop generating work — the canonical iterative graph
+    // traversal at scale.
+    "q39_reach3" -> ((s, dir) => {
+      val seeds = part(s, dir).filter(col("p_size") === 25)
+        .select(col("p_partkey").as("vertex"))
+      graft.ops.Graph.reachableWithin(coEdges(s, dir), broadcast(seeds), 3)
+    }),
+
     // ---- entity-graph rank (KG graph-materialize leg) -------------------
     // Co-mention edges between gazetteer entities (distinct mentions
     // sharing a document — the per-doc pair blowup is bounded by mentions
@@ -1932,6 +1943,23 @@ object SparkEntry {
                 CAST(to_json(list_sort(list(doc_id))) AS VARCHAR) AS top_docs,
                 count(*) AS n
          FROM r WHERE rn <= 3 GROUP BY 1""",
+    "q39_reach3" -> (coEdgeCtes +
+      """,
+         seeds AS (SELECT p_partkey AS vertex FROM part WHERE p_size = 25),
+         r0 AS (SELECT vertex AS seed, vertex FROM seeds),
+         r1 AS (SELECT DISTINCT seed, vertex FROM (
+                  SELECT seed, vertex FROM r0
+                  UNION ALL
+                  SELECT r0.seed, e.dst FROM r0 JOIN edges e ON e.src = r0.vertex)),
+         r2 AS (SELECT DISTINCT seed, vertex FROM (
+                  SELECT seed, vertex FROM r1
+                  UNION ALL
+                  SELECT r1.seed, e.dst FROM r1 JOIN edges e ON e.src = r1.vertex)),
+         r3 AS (SELECT DISTINCT seed, vertex FROM (
+                  SELECT seed, vertex FROM r2
+                  UNION ALL
+                  SELECT r2.seed, e.dst FROM r2 JOIN edges e ON e.src = r2.vertex))
+         SELECT seed, count(*) AS n_reach FROM r3 GROUP BY 1"""),
     "q38_star_join" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)

@@ -63,6 +63,28 @@ object Graph {
       .agg(count(lit(1)).as("n_2hop"))
   }
 
+  /** Per-seed count of vertices reachable within `k` hops (seed included)
+    * — iterative BFS with an explicit visited set: each round expands only
+    * the NEW frontier (anti-join against visited), so saturated regions
+    * stop costing joins; both frames checkpoint per round (CLAUDE.md
+    * iterative invariant).
+    */
+  def reachableWithin(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var reach = seeds.select(col("vertex").as("seed"), col("vertex"))
+      .localCheckpoint(true)
+    var frontier = reach
+    for (_ <- 1 to k) {
+      val nxt = frontier.join(e, frontier("vertex") === e("src"))
+        .select(col("seed"), col("dst").as("vertex"))
+        .distinct()
+      frontier = nxt.join(reach, Seq("seed", "vertex"), "left_anti")
+        .localCheckpoint(true)
+      reach = reach.unionAll(frontier).localCheckpoint(true)
+    }
+    reach.groupBy("seed").agg(count(lit(1)).as("n_reach"))
+  }
+
   /** Global triangle and wedge counts (plus the global clustering
     * coefficient) over a SYMMETRIC edge list, via degree-ordered
     * orientation: each undirected edge is kept only in the direction of

@@ -47,6 +47,19 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 3.0 / 7.0) < 1e-5)
   }
 
+  test("reachableWithin: visited set stops saturated regions, seed counted") {
+    val edges = Graph.symmetrize(pairs)
+    val seeds = Seq(1L, 5L).toDF("vertex")
+    def reach(k: Int) = Graph.reachableWithin(edges, seeds, k)
+      .as[(Long, Long)].collect().toMap
+    // from 1 on the path 1-2-3-4(-5,6): k=1 -> {1,2}; k=2 -> +3; k=3 -> +4
+    assert(reach(1) === Map(1L -> 2L, 5L -> 3L))
+    assert(reach(2) === Map(1L -> 3L, 5L -> 4L))
+    assert(reach(3) === Map(1L -> 4L, 5L -> 5L))
+    // k beyond the diameter saturates at the component size
+    assert(reach(6) === Map(1L -> 6L, 5L -> 6L))
+  }
+
   test("triangleStats counts K4 as four triangles") {
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val r = Graph.triangleStats(Graph.symmetrize(k4.toDF("a", "b")))

@@ -977,6 +977,28 @@ object SparkEntry {
         .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // ---- BM25 ranked keyword retrieval -----------------------------------
+    // Search/ranking leg: top-10 docs for a 3-term query. Per-(doc,term)
+    // scores quantize to scaled longs BEFORE the per-doc sum, so the
+    // aggregate is associative; the top-k plans as TakeOrderedAndProject.
+    "q41_bm25" -> ((s, dir) =>
+      graft.ops.Bm25.topDocs(documents(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "query"))),
+
+    // ---- row-set INTERSECT / EXCEPT ---------------------------------------
+    // Set-op coverage the reference lacks entirely: customers ordering in
+    // BOTH statuses (INTERSECT) and in 'F' only (EXCEPT), tagged and
+    // unioned. Both ops hash-partition on the full row — one shuffle each,
+    // no join blowup.
+    "q42_setops" -> ((s, dir) => {
+      val f = orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val o = orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+      f.intersect(o).withColumn("side", lit("both"))
+        .unionByName(f.except(o).withColumn("side", lit("f_only")))
     })
   )
 
@@ -1971,6 +1993,40 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND o_orderstatus <> 'F'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // Mirrors Bm25.topDocs verbatim: identical parenthesization per IEEE
+    // op; per-(doc,term) quantization to BIGINT before the per-doc sum.
+    "q41_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                       FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         params AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN ('spark', 'merge', 'query') GROUP BY 1, 2),
+         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(round(
+                    ln(1.0 + (CAST(p.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                             / (CAST(f.df AS DOUBLE) + 0.5))
+                    * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(t.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE)
+                                / (CAST(p.sum_dl AS DOUBLE) / CAST(p.n_docs AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS s_scaled
+           FROM tf t JOIN dft f USING (tok) JOIN dl d USING (doc_id)
+           CROSS JOIN params p)
+         SELECT doc_id, count(*) AS n_terms,
+                CAST(sum(s_scaled) AS BIGINT) AS score_scaled
+         FROM scored GROUP BY 1
+         ORDER BY score_scaled DESC, doc_id ASC LIMIT 10""",
+    "q42_setops" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT custkey FROM f INTERSECT SELECT custkey FROM o),
+         fo AS (SELECT custkey FROM f EXCEPT SELECT custkey FROM o)
+         SELECT custkey, 'both' AS side FROM b
+         UNION ALL
+         SELECT custkey, 'f_only' AS side FROM fo"""
   )
 }

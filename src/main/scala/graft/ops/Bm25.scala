@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranked keyword retrieval over a tokenized corpus — the
+  * search/ranking leg of a training-data curation stack (e.g. scoring
+  * documents against a topic term list before sampling). Public
+  * algorithm (Robertson & Walker, SIGIR'94; the +1 idf variant used by
+  * Lucene keeps idf positive for terms present in most documents).
+  *
+  * Plan shape at 100 TB: one explode+hash-agg over the corpus for
+  * (doc, term) tf restricted to the query terms (the filter sits before
+  * the aggregation, so non-query tokens never shuffle); doc lengths are
+  * a second narrow aggregate of the same scan; the term df table and
+  * the scalar (N, sum_dl) frame broadcast. The final top-k is an
+  * orderBy(...).limit(k) — Spark plans TakeOrderedAndProject, a
+  * per-partition heap, never a global sort.
+  *
+  * Determinism across engines: every input to the formula (tf, df, dl,
+  * N, sum_dl) is an exact integer; the double formula is written with
+  * one fixed parenthesization mirrored verbatim in the DuckDB oracle
+  * (IEEE ops are bit-deterministic given identical association), and
+  * per-(doc, term) scores are quantized to scaled longs BEFORE the
+  * per-doc sum, so the aggregation is associative long addition —
+  * bit-identical under any shuffle order.
+  */
+object Bm25 {
+
+  /** Top-k docs for a bag of query terms.
+    * Output: (doc_id, n_terms, score_scaled) — score_scaled is the sum
+    * over matched terms of round(bm25_term * 1e6) as a long.
+    */
+  def topDocs(docs: DataFrame, idCol: String, textCol: String,
+              terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+              topK: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val params = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val s = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) / denom
+
+    tf.join(broadcast(dft), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(params))
+      .withColumn("s_scaled", round(s * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_scaled")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

@@ -430,4 +430,21 @@ class OpsSpec extends SparkTestBase {
       expectedKeys = 16L)
     assert(gotNull.count() === 15L)
   }
+
+  test("bm25: hand-checked scores, tf ordering, absent docs excluded") {
+    val docs = Seq(("d1", "x x y"), ("d2", "x z z"), ("d3", "z z z"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Bm25.topDocs(docs, "doc_id", "text", Seq("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // N=3, sum_dl=9, avgdl=3, df(x)=2, idf=ln(1+(3-2+0.5)/2.5)=ln(1.6);
+    // dl=3 for every doc so denom = tf + 1.2*(0.25+0.75) = tf + 1.2
+    def expected(tf: Int): Long =
+      math.round(math.log(1.6) * (tf * (1.2 + 1.0)) / (tf + 1.2) * 1e6)
+    assert(got.toSeq === Seq(
+      ("d1", 1L, expected(2)), ("d2", 1L, expected(1))))
+    // multi-term: per-term quantized scores sum as longs
+    val multi = graft.ops.Bm25.topDocs(docs, "doc_id", "text", Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(multi("d1") === 2L && multi("d2") === 1L)
+  }
 }

@@ -200,4 +200,32 @@ object StreamKb {
           }
         })
   }
+
+  /** Watermarked stream-stream interval join (clickthrough-attribution
+    * shape): each left event pairs with right events that share its key
+    * and whose event time falls in [l.ts, l.ts + windowSec]. All input
+    * columns survive, prefixed l_/r_.
+    *
+    * State boundedness at scale: the interval condition gives the engine
+    * a provable eviction rule — a buffered left row can be dropped once
+    * the RIGHT watermark passes l.ts + windowSec, and a buffered right
+    * row once the LEFT watermark passes r.ts — so join state is sized by
+    * window + allowed lateness, never by stream history. Without the
+    * time bound a stream-stream join must buffer both sides forever.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   windowSec: Long, watermarkDelay: String): DataFrame = {
+    def tag(df: DataFrame, p: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+      renamed.withColumn(p + tsCol, col(p + tsCol).cast("timestamp"))
+        .withWatermark(p + tsCol, watermarkDelay)
+    }
+    val l = tag(left, "l_")
+    val r = tag(right, "r_")
+    l.join(r,
+      col("l_" + keyCol) === col("r_" + keyCol) &&
+        col("r_" + tsCol) >= col("l_" + tsCol) &&
+        col("r_" + tsCol) <= col("l_" + tsCol) + expr(s"INTERVAL $windowSec SECOND"))
+  }
 }

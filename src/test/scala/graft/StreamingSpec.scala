@@ -120,4 +120,48 @@ class StreamingSpec extends SparkTestBase {
       assert(batch === want)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: in-window pairs only, equals batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx = spark.sqlContext
+
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = graft.streaming.StreamKb.intervalJoin(
+      imps.toDF().toDF("user_id", "ts", "id"),
+      clicks.toDF().toDF("user_id", "ts", "id"),
+      keyCol = "user_id", tsCol = "ts",
+      windowSec = 60, watermarkDelay = "0 seconds")
+      .select(col("l_id"), col("r_id"))
+    val qname = "clickthrough_" + System.nanoTime()
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00"), "i1"),
+        (2L, ts("2024-01-01 00:00:00"), "i2"))
+      clicks.addData(
+        (1L, ts("2024-01-01 00:00:30"), "c1"),   // in window -> joins i1
+        (1L, ts("2024-01-01 00:02:00"), "c2"),   // outside 60s -> dropped
+        (3L, ts("2024-01-01 00:00:10"), "c3"))   // no impression -> dropped
+      q.processAllAvailable()
+      val got = spark.table(qname).as[(String, String)].collect().toSet
+      assert(got === Set(("i1", "c1")))
+
+      // batch twin: identical pairs from a plain interval join
+      val bi = Seq((1L, ts("2024-01-01 00:00:00"), "i1"),
+        (2L, ts("2024-01-01 00:00:00"), "i2")).toDF("user_id", "ts", "id")
+      val bc = Seq((1L, ts("2024-01-01 00:00:30"), "c1"),
+        (1L, ts("2024-01-01 00:02:00"), "c2"),
+        (3L, ts("2024-01-01 00:00:10"), "c3")).toDF("user_id", "ts", "id")
+      val batch = bi.as("l").join(bc.as("r"),
+          col("l.user_id") === col("r.user_id") &&
+            col("r.ts") >= col("l.ts") &&
+            col("r.ts") <= col("l.ts") + expr("INTERVAL 60 SECOND"))
+        .select(col("l.id"), col("r.id"))
+        .as[(String, String)].collect().toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
 }

@@ -25,7 +25,8 @@ object DevExplain {
       "q29_path2", "q30_pagerank", "q31_cohort", "q32_histogram",
       "q33_corr", "t20_zscore", "q34_bloom_join",
       "q35_triangles", "kg_entity_rank", "q36_window_suite",
-      "q37_collect", "q38_star_join").foreach { q =>
+      "q37_collect", "q38_star_join", "q41_bm25", "q42_setops",
+      "q43_range_frame", "q44_subquery").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

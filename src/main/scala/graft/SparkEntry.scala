@@ -999,6 +999,36 @@ object SparkEntry {
         .select(col("o_custkey").as("custkey"))
       f.intersect(o).withColumn("side", lit("both"))
         .unionByName(f.except(o).withColumn("side", lit("f_only")))
+    }),
+
+    // ---- RANGE-framed sliding window --------------------------------------
+    // Trailing-hour rollup per user with a true RANGE frame (value-based,
+    // not row-count): one sort+Window pass per user partition; ties on the
+    // order key all enter the frame, so the result is order-independent.
+    // Values quantize to integer cents so the running sum is exact.
+    "q43_range_frame" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000, 0)
+      e.select(col("user_id"), col("event_id"),
+        sum(col("cents")).over(w).as("roll_cents"),
+        count(lit(1)).over(w).as("n_in_hour"))
+    }),
+
+    // ---- correlated scalar subquery (decorrelation surface) ---------------
+    // Each customer's maximal order(s) via a correlated subquery; Catalyst
+    // decorrelates it into an aggregate + equi-join (no per-row re-scan).
+    // max over doubles is order-independent, so the compare is exact.
+    "q44_subquery" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders_sq o
+           WHERE o_totalprice >= (SELECT max(o2.o_totalprice)
+                                  FROM orders_sq o2
+                                  WHERE o2.o_custkey = o.o_custkey)""")
     })
   )
 
@@ -2027,6 +2057,22 @@ object SparkEntry {
          fo AS (SELECT custkey FROM f EXCEPT SELECT custkey FROM o)
          SELECT custkey, 'both' AS side FROM b
          UNION ALL
-         SELECT custkey, 'f_only' AS side FROM fo"""
+         SELECT custkey, 'f_only' AS side FROM fo""",
+    "q43_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events)
+         SELECT user_id, event_id,
+                CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
+                count(*) OVER w AS n_in_hour
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q44_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice >= (SELECT max(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)"""
   )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape gates for the scan/topk promises the docs make: filters
+  * and projections must reach the parquet scan, and bounded top-k must
+  * never plan a global sort. These are the properties that decide
+  * whether a 100 TB scan reads 100 TB or 2 columns of a pruned subset —
+  * asserting them in CI keeps a refactor from silently regressing the
+  * physical plan while the row-level oracles still pass.
+  */
+class PlanSpec extends SparkTestBase {
+
+  test("parquet scan: filter pushed down, unused columns pruned") {
+    val q = spark.read.parquet(s"$sfUnit/documents.parquet")
+      .filter(col("lang") === "en")
+      .select("doc_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), scan)
+    // ReadSchema carries only the projected + filtered columns; the wide
+    // text column must not be read
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id"), scan)
+    assert(!readSchema.contains("text"), scan)
+  }
+
+  test("bm25 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q41_bm25")(spark, sfUnit)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("vocab top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("t19_vocab")(spark, sfUnit)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.tables
 
-import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, Path,
+  StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -41,6 +42,12 @@ final case class IceLite(root: String, numBuckets: Int = 0,
   private def bucketed: Boolean = numBuckets > 0
 
   def exists: Boolean = Files.exists(latestPtr)
+
+  /** Test seam: invoked after the commit id is chosen, before the
+    * manifest write — the window where a concurrent writer's completed
+    * commit becomes detectable. No-op in production.
+    */
+  private[graft] var raceWindow: () => Unit = () => ()
 
   def latestSnapshot: Option[Int] =
     if (!exists) None
@@ -92,6 +99,20 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     * such legacy tables stay PROPS-less and mergeInto/replaceKeys treat
     * every entry as touched (whole-table COW).
     */
+  /** Commit protocol with single-writer optimistic detection. The table
+    * contract is ONE writer at a time (the Incremental loop); this guard
+    * turns the common violation into an exception instead of a silent
+    * lost update: the manifest is created with CREATE_NEW, and a
+    * pre-existing v<next>.json whose id the pointer has ALREADY reached
+    * means another writer committed since we resolved LATEST — abort
+    * (the caller must recompute off the new snapshot). A pre-existing
+    * manifest the pointer never reached is the orphan of a commit that
+    * crashed before its pointer swap (we are the only live writer), so
+    * it is replaced. The pointer is re-read immediately before the swap
+    * for the same reason. A writer that has written its manifest but not
+    * yet swapped remains undetectable without a lock server — documented
+    * limit, same window real Iceberg closes with a catalog CAS.
+    */
   private def commit(entries: Seq[(Int, String)], stampProps: Boolean = false): Int = {
     Files.createDirectories(meta)
     if (!Files.exists(propsFile) && (stampProps || !exists))
@@ -99,7 +120,17 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     val next = latestSnapshot.getOrElse(0) + 1
     val dirs = entries.map { case (b, d) => if (b < 0) d else s"b$b:$d" }
     val json = dirs.map(d => "\"" + d + "\"").mkString(s"""{"id":$next,"dirs":[""", ",", "]}")
-    Files.writeString(meta.resolve(s"v$next.json"), json)
+    val mf = meta.resolve(s"v$next.json")
+    def conflict() = throw new java.util.ConcurrentModificationException(
+      s"concurrent commit on $root: snapshot $next was committed by another writer")
+    raceWindow()
+    try Files.writeString(mf, json, StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException =>
+        if (latestSnapshot.getOrElse(0) >= next) conflict()
+        Files.writeString(mf, json) // crashed-commit orphan: replace
+    }
+    if (latestSnapshot.getOrElse(0) >= next) conflict()
     val tmp = meta.resolve(s".LATEST.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, latestPtr, StandardCopyOption.ATOMIC_MOVE,

@@ -249,4 +249,38 @@ class IceLiteSpec extends SparkTestBase {
     assert(!Files.exists(orphan) && Files.exists(inflight))
     assert(t.read(spark).get.count() == 2)
   }
+
+  test("commit replaces a crashed-commit orphan manifest, detects a foreign commit") {
+    val root = tmp()
+    val t = IceLite(root)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    // crash fingerprint: v2.json written, pointer never swapped (LATEST=1).
+    // the single live writer must replace it and commit normally.
+    val orphanMf = java.nio.file.Paths.get(root, "_meta", "v2.json")
+    Files.writeString(orphanMf, """{"id":2,"dirs":["data/sBOGUS"]}""")
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.read(spark).get.count() == 2)
+    assert(t.latestSnapshot.contains(2))
+
+    // foreign COMPLETED commit racing ours: another writer publishes OUR
+    // target id (manifest + pointer) after we resolved LATEST. The loser
+    // must abort with a conflict and must NOT clobber the winner's
+    // manifest with its own.
+    val ptr = java.nio.file.Paths.get(root, "_meta", "LATEST")
+    val v3 = java.nio.file.Paths.get(root, "_meta", "v3.json")
+    t.raceWindow = () => {
+      Files.writeString(v3, """{"id":3,"dirs":["data/s2"]}""") // winner
+      Files.writeString(ptr, "3")
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((9, "z")).toDF("id", "v"))
+    }
+    t.raceWindow = () => ()
+    // the winner's manifest and pointer survive; the loser retries off
+    // the advanced snapshot and lands on the next free id
+    assert(Files.readString(v3).contains("data/s2"))
+    assert(t.latestSnapshot.contains(3))
+    t.append(Seq((4, "d")).toDF("id", "v"))
+    assert(t.latestSnapshot.contains(4))
+  }
 }

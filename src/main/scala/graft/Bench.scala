@@ -236,7 +236,10 @@ object Bench {
       val p = java.nio.file.Paths.get(artifactPath)
       if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p)
-        if (txt.contains("\"queries_degraded\":false"))
+        // only artifacts of the SAME scale may seed: an sf0.01 smoke's
+        // minima would otherwise masquerade as the sf0.1 query table
+        if (txt.contains("\"queries_degraded\":false") &&
+            txt.contains("\"sf\":\"" + sfDir + "\""))
           "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
             .map(_.group(1)).foreach { qb =>
               "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qb)
@@ -252,8 +255,10 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     val levelResults = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
-    val loadSeen = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val faultSeen = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // (level, value) per ATTEMPT — retries append too, so entries carry
+    // their level explicitly instead of relying on positional alignment
+    val loadSeen = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val faultSeen = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     // host-wide CPU split (core-seconds) over each KEPT level run, from
     // /proc/stat: the memory-overcommit storm (probeFaultMBps scaladoc)
     // shows up as sys >> user — recording it makes a poisoned level
@@ -337,21 +342,23 @@ object Bench {
           // no ladder level survived this run (degraded-host breaker):
           // embed the recorded quiet-window evidence in MACHINE-READABLE
           // form so the artifact stays self-contained — `prior_run:true`
-          // labels it a PRIOR measurement, not this run's
-          """{"note":"ladder skipped on degraded host; quiet-window """ +
-            """scaling evidence recorded in BENCH.md","prior_run":true,""" +
-            """"mode":"jvms","levels":{"1":{"docs_per_sec":1336},""" +
-            """"4":{"docs_per_sec":5129}},"docs":440000,""" +
-            """"scaling_pairs":{"eff_1_4":0.96},"scaling_efficiency":0.96}"""
+          // labels it a PRIOR measurement, not this run's. Reuses the
+          // SAME constants as the degraded-ladder path so a re-measured
+          // quiet pair updates every branch at once.
+          s"""{"note":"ladder skipped on degraded host; quiet-window """ +
+            s"""scaling evidence recorded in BENCH.md","prior_run":true,""" +
+            s""""mode":"jvms",$QuietEvidence,"scaling_efficiency":$QuietEff}"""
         else s"""{"docs":${levelResults(levels.head)._2},"triples":${triplesAll.head},""" +
           s""""triples_check_equal":${triplesAll.size == 1},"mode":"$mode",""" +
           s""""replicate":$replicate,"levels":$perLevel,"scaling_pairs":$pairJson,""" +
-          s""""loadavg_at_levels":[${loadSeen.mkString(",")}],""" +
+          s""""loadavg_at_levels":[${loadSeen.map { case (l, v) =>
+            s"""{"level":$l,"load":$v}""" }.mkString(",")}],""" +
           // fresh-page provision rate right before each level (see
           // probeFaultMBps scaladoc): healthy host ~1000+, degraded
           // ~10-30. A pair taken under a degraded probe measures the
           // hypervisor's memory reclaim, not the plan.
-          s""""host_fault_mbps_at_levels":[${faultSeen.map(v => f"$v%.0f").mkString(",")}],""" +
+          s""""host_fault_mbps_at_levels":[${faultSeen.map { case (l, v) =>
+            f"""{"level":$l,"mbps":$v%.0f}""" }.mkString(",")}],""" +
           s""""host_degraded":$degraded,"primary_pair":"$pairDesc"$effJson}"""
       val aborted = abortedBy.map(a => s""","aborted":"$a"""").getOrElse("") +
         ladderAborted.map(a => s""","ladder_aborted":"$a"""").getOrElse("")
@@ -433,10 +440,13 @@ object Bench {
       // its whole query table to an abort on the later queries)
       headline.foreach { name =>
         val q0 = System.nanoTime()
-        try SparkEntry.queries(name)(s1, sfDir).count()
-        catch { case _: Throwable => -1L }
+        // a FAILED query must never enter the minimum: elapsed-to-failure
+        // is not a timing, and min-of-passes would keep it forever (and
+        // seed it into every later artifact)
+        val ok = try { SparkEntry.queries(name)(s1, sfDir).count(); true }
+        catch { case _: Throwable => false }
         val sec = (System.nanoTime() - q0) / 1e9
-        if (bestQueries.get(name).forall(_ > sec)) bestQueries(name) = sec
+        if (ok && bestQueries.get(name).forall(_ > sec)) bestQueries(name) = sec
         queriesJson = Some(bestQueries.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}"))
         queriesTotal = bestQueries.values.sum
@@ -596,7 +606,7 @@ object Bench {
     // burned ~75 s waiting for its own decaying load); only wait when
     // load clearly exceeds what the box showed before we did anything.
     val loadBaseline = load1
-    def awaitQuiet(): Unit = {
+    def awaitQuiet(level: Int): Unit = {
       val gate = math.max(quietLoad, loadBaseline + 0.5)
       val waitS = math.min(quietWaitS, quietBudgetS)
       val t0 = System.nanoTime()
@@ -604,7 +614,7 @@ object Bench {
       while (load1 > gate && System.nanoTime() < deadline)
         Thread.sleep(10000)
       quietBudgetS -= ((System.nanoTime() - t0) / 1e9).toInt
-      loadSeen += load1
+      loadSeen += ((level, load1))
     }
 
     // single-level mode: honest per-JVM isolation (JIT/GC state from one
@@ -626,8 +636,13 @@ object Bench {
       }
       runQueries()
       val (sec, docs, triples) = levelResults(lvl)
-      emitFinal(s"""{"level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,""" +
-        s""""docs_per_sec":${docs / sec},"host_fault_mbps":${f"$fault%.0f"},""" +
+      // a failed level is marked as such — sec:-1 with docs_per_sec:-0.0
+      // is plausible-typed garbage to a parser
+      val levelJson =
+        if (sec <= 0) s""""level":$lvl,"level_failed":true"""
+        else s""""level":$lvl,"sec":$sec,"docs":$docs,"triples":$triples,""" +
+          s""""docs_per_sec":${docs / sec}"""
+      emitFinal(s"""{$levelJson,"host_fault_mbps":${f"$fault%.0f"},""" +
         s""""queries":${queriesJson.getOrElse("{}")},""" +
         s""""queries_total_sec":$queriesTotal}""")
       return
@@ -650,9 +665,9 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     val levelsSorted = levels.sorted
     def runLevel(l: Int): Unit = if (ladderAborted.isEmpty) {
-      awaitQuiet()
+      awaitQuiet(l)
       val fault = probeFaultMBps()
-      faultSeen += fault
+      faultSeen += ((l, fault))
       println(f"[bench] L$l host_fault_mbps=$fault%.0f")
       val c0 = hostCpu()
       try {

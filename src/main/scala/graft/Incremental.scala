@@ -268,6 +268,26 @@ object Incremental {
     }
   }
 
+  /** Registry snapshot ids pinned by UNFINISHED work (batches with a
+    * registry_snapshot lineage row but no done row; reannotate attempts
+    * whose latest marker lacks a completion row). A crash replay
+    * time-travels the registry to these — maintenance must not expire
+    * them.
+    */
+  private[graft] def danglingRegistryPins(spark: SparkSession, t: Tables): Set[Int] = {
+    val done = doneBatches(spark, t)
+    val batchPins = pinnedSnapshots(spark, t)
+      .collect { case (b, s) if !done.contains(b) => s }
+    val reannPins = reannotateRows(spark, t).groupBy(_._1).values.flatMap {
+      attempts =>
+        val latest = attempts.map(_._2).max
+        val latestDone = attempts.exists(a => a._2 == latest && !a._4)
+        if (latestDone) None
+        else attempts.collectFirst { case (_, `latest`, Some(s), true) => s }
+    }
+    (batchPins ++ reannPins).toSet
+  }
+
   /** Table maintenance for a long-lived work dir (Iceberg's
     * expire_snapshots + rewrite_data_files + remove_orphan_files, in
     * that spirit): compact each table's live snapshot into one dir-set,
@@ -275,11 +295,15 @@ object Incremental {
     * micro-batch loop otherwise accretes one data dir (bucketed: one
     * leaf per touched bucket) and one manifest per commit without
     * bound. Run BETWEEN runs, never concurrently with one — IceLite is
-    * single-writer. Resume is unaffected: it reads only the LATEST
-    * lineage snapshot, which compaction preserves row-identically.
+    * single-writer. Resume survives it: it reads only the LATEST
+    * lineage snapshot (which compaction preserves row-identically), and
+    * registry snapshots pinned by unfinished batches or reannotate
+    * attempts are excluded from expiry so a post-maintenance replay can
+    * still time-travel to its pin.
     */
   def maintain(spark: SparkSession, workDir: String, keepLast: Int = 2): Unit = {
     val t = Tables(workDir)
+    val registryPins = danglingRegistryPins(spark, t)
     Seq(t.documents, t.mentions, t.candidates, t.registry, t.triples,
         t.lineage, t.metrics).foreach { tbl =>
       // bucketed KB tables are rewritten key-CLUSTERED: sorted runs give
@@ -287,7 +311,8 @@ object Incremental {
       // point/range reads skip row groups instead of scanning the leaf
       if (tbl.numBuckets > 0) tbl.compactSorted(spark, tbl.bucketKeys)
       else tbl.compact(spark)
-      tbl.expireSnapshots(keepLast)
+      tbl.expireSnapshots(keepLast,
+        if (tbl eq t.registry) registryPins else Set.empty)
       tbl.vacuum()
     }
   }

@@ -492,9 +492,12 @@ object SparkEntry {
       val p = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("p_ts"))
+      // clicks dedup to one row per (user, ts): DuckDB's ASOF JOIN gives
+      // no tie-break among equal right timestamps, so same-instant
+      // duplicates would make the compare engine-dependent
       val c = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("c_ts"))
+        .groupBy(col("user_id"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("click_id"))
       // events ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is the
       // identity on the instant (unix_micros only accepts TIMESTAMP)
       def us(n: String) = unix_micros(col(n).cast("timestamp"))
@@ -1673,8 +1676,9 @@ object SparkEntry {
     "q16_asof" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
                     FROM events WHERE event_type = 'purchase'),
-              c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
-                    FROM events WHERE event_type = 'click')
+              c AS (SELECT max(event_id) AS click_id, user_id, ts AS c_ts
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts)
          SELECT p.purchase_id, p.user_id, epoch_us(p.p_ts) AS p_us,
                 c.click_id,
                 epoch_us(p.p_ts) - epoch_us(c.c_ts) AS gap_us

@@ -182,11 +182,11 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         .sortWithinPartitions((col("_b") +: sortBy.map(col)): _*)
     arranged.write.mode("overwrite").partitionBy("_b").parquet(s"$root/$dir")
     // enumerate the bucket leaves actually written
-    Files.list(Paths.get(root, dir)).iterator().asScala
+    withStream(Files.list(Paths.get(root, dir)))(_
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("_b=") =>
         (s.stripPrefix("_b=").toInt, s"$dir/$s") }
-      .toSeq
+      .toSeq)
   }
 
   /** Append rows as a new snapshot (previous data dirs stay live). */
@@ -323,14 +323,21 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     }
   }
 
+  /** Drain an NIO stream through `f` and ALWAYS close it — unclosed
+    * Files.list/walk streams each pin a directory fd until GC, and
+    * maintain() visits every table per invocation.
+    */
+  private def withStream[A, T](s: java.util.stream.Stream[A])(f: Iterator[A] => T): T =
+    try f(s.iterator().asScala) finally s.close()
+
   /** All snapshot ids, ascending. */
   def snapshots: Seq[Int] =
     if (!Files.exists(meta)) Seq.empty
-    else Files.list(meta).iterator().asScala
+    else withStream(Files.list(meta))(_
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq.sorted
+      .toSeq.sorted)
 
   // ---- maintenance ---------------------------------------------------
   // A micro-batch loop accretes one data dir per commit (bucketed: one
@@ -343,8 +350,8 @@ final case class IceLite(root: String, numBuckets: Int = 0,
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      withStream(Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]()))(
+        _.foreach(Files.deleteIfExists(_)))
 
   /** Drop all but the last `keepLast` snapshots: their manifests are
     * deleted (time travel to them ends) and every data dir referenced
@@ -354,10 +361,17 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     * leaves at worst unreferenced garbage (vacuum's job), never a kept
     * manifest pointing at deleted files. Returns the expired ids.
     */
-  def expireSnapshots(keepLast: Int = 1): Seq[Int] = {
+  /** Expire history beyond the last `keepLast` snapshots. `keepIds`
+    * pins additional snapshots that must survive regardless of age —
+    * e.g. registry snapshots recorded in unfinished batches' lineage
+    * pins, which a crash replay will time-travel to.
+    */
+  def expireSnapshots(keepLast: Int = 1, keepIds: Set[Int] = Set.empty): Seq[Int] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val all = snapshots
-    val (expired, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    val tailKeep = all.drop(math.max(0, all.size - keepLast)).toSet
+    val keep = tailKeep ++ keepIds
+    val (expired, kept) = all.partition(id => !keep.contains(id))
     if (expired.nonEmpty) {
       val keptDirs = kept.flatMap(manifestDirs).toSet
       val deadDirs = expired.flatMap(manifestDirs).toSet -- keptDirs
@@ -367,7 +381,7 @@ final case class IceLite(root: String, numBuckets: Int = 0,
       // sibling bucket is dead — remove now-empty parents
       deadDirs.map(d => Paths.get(root, d).getParent).filter { p =>
         p != Paths.get(root, "data") && Files.isDirectory(p) &&
-          !Files.list(p).iterator().hasNext
+          withStream(Files.list(p))(!_.hasNext)
       }.foreach(Files.deleteIfExists(_))
     }
     expired
@@ -418,12 +432,12 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         .map(d => d.split("/").take(2).mkString("/")).toSet // data/s<id>
       val dataRoot = Paths.get(root, "data")
       if (!Files.isDirectory(dataRoot)) Seq.empty
-      else Files.list(dataRoot).iterator().asScala
+      else withStream(Files.list(dataRoot))(_
         .filter(p => Files.isDirectory(p))
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("s") && n.drop(1).forall(_.isDigit) &&
           n.drop(1).toInt <= latest && !live.contains(s"data/$n"))
-        .toSeq
+        .toSeq)
         .map { n => deleteTree(dataRoot.resolve(n)); s"data/$n" }
   }
 }

@@ -78,6 +78,37 @@ class IncrementalSpec extends SparkTestBase {
     assert(tableState(Incremental.Tables(dirA), "triples") == before)
   }
 
+  test("maintain between a mid-batch crash and its resume keeps the pinned snapshot") {
+    val docs = spark.createDataset(corpus)
+    val dirA = Files.createTempDirectory("mntPinA").toString
+    val dirB = Files.createTempDirectory("mntPinB").toString
+
+    Incremental.run(spark, docs, dirA, numBatches = 3)
+
+    // crash in the worst window (every merge done, done-row stripped),
+    // then MAINTENANCE before the resume: the dangling batch's pinned
+    // registry snapshot must survive expiry or the replay cannot
+    // time-travel to it
+    Incremental.run(spark, docs, dirB, numBatches = 3, upToBatch = 3)
+    val tB = Incremental.Tables(dirB)
+    val lineage = tB.lineage.read(spark).get
+    val lastDone = Incremental.doneBatches(spark, tB).max
+    tB.lineage.overwrite(lineage.filter(
+      !(col("status") === "done" && col("batch_id") === lastDone)))
+    assert(Incremental.danglingRegistryPins(spark, tB).nonEmpty)
+
+    Incremental.maintain(spark, dirB, keepLast = 1)
+    val pins = Incremental.danglingRegistryPins(spark, tB)
+    pins.foreach(id => assert(tB.registry.snapshots.contains(id),
+      s"pinned registry snapshot $id expired by maintain"))
+
+    Incremental.run(spark, docs, dirB, numBatches = 3) // resume
+    Seq("triples", "registry", "mentions", "documents").foreach { n =>
+      assert(tableState(Incremental.Tables(dirA), n) ==
+             tableState(Incremental.Tables(dirB), n), s"table $n differs")
+    }
+  }
+
   test("mid-batch crash (all merges done, no done-row) replays byte-identically") {
     val docs = spark.createDataset(corpus)
     val dirA = Files.createTempDirectory("incMidA").toString

@@ -264,6 +264,10 @@ object Bench {
     // shows up as sys >> user — recording it makes a poisoned level
     // self-evident in the artifact instead of looking like a plan defect.
     val levelHostCpu = scala.collection.mutable.Map.empty[Int, (Double, Double, Double, Double)]
+    // kept attempt started with loadavg still above the quiet gate: the
+    // level ran against co-tenant CPU contention (a failure mode the
+    // sys/steal split misses when the neighbors burn plain user time)
+    val levelContended = scala.collection.mutable.Map.empty[Int, Boolean]
     @volatile var abortedBy: Option[String] = None
     // set when the warmup circuit-breaker trips (degraded host): the
     // remaining ladder levels are skipped so the queries still land
@@ -306,7 +310,8 @@ object Bench {
       // the old 0.5 threshold ran its 4N wall 2.1x over the Amdahl
       // prediction fitted on the quiet-window pair — i.e. still poisoned.
       val degraded = levels.exists(l => levelHostCpu.get(l)
-        .exists(h => h._2 + h._4 > 0.3 * h._1))
+        .exists(h => h._2 + h._4 > 0.3 * h._1)) ||
+        levels.exists(l => levelContended.getOrElse(l, false))
       // drop(1), not .tail: Nil.tail THROWS, and this runs on the
       // watchdog thread before any level has completed — the round-3
       // driver run lost its whole artifact to exactly that (the watchdog
@@ -324,9 +329,10 @@ object Bench {
         if (degraded)
           s""","scaling_efficiency_this_run":${eff(a, b)},""" +
             s""""scaling_efficiency":$QuietEff,$QuietEvidence,""" +
-            """"scaling_provenance":"prior quiet-window pair — this run's """ +
-            """ladder hit a sys/steal storm at a level (host_cpu_cores_s """ +
-            """above; BENCH.md host pathology section)""""
+            """"scaling_provenance":"prior quiet-window pair — a level of """ +
+            """this run's ladder ran against host interference (sys/steal """ +
+            """storm or a contended load gate; host_cpu_cores_s and """ +
+            """loadavg_at_levels above; BENCH.md host pathology section)""""
         else s""","scaling_efficiency":${eff(a, b)},""" +
           """"scaling_provenance":"this_run""""
       }.getOrElse("")
@@ -597,16 +603,25 @@ object Bench {
     // buys little and eats the wall budget (a 90 s wait between levels
     // was mostly measuring our OWN just-finished run's decaying loadavg)
     val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.5").toDouble
-    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "45").toInt
+    // per-level wait 75 s: the 1-minute loadavg of our OWN finished 4N
+    // level needs ~60-90 s to decay below the gate, and a timed-out gate
+    // now flags the level CONTENDED (degrading the run's scaling pair to
+    // a diagnostic) — so an unreachable gate costs evidence, not just
+    // wall time
+    val quietWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "75").toInt
     // global waiting budget across ALL levels/retries, so worst-case
     // noise cannot push the default run past the driver timeout
-    var quietBudgetS = sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_S", "90").toInt
+    var quietBudgetS = sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_S", "150").toInt
     // baseline at process start: loadavg(1m) between ladder levels still
     // carries OUR OWN just-finished run (the first trimmed default run
     // burned ~75 s waiting for its own decaying load); only wait when
     // load clearly exceeds what the box showed before we did anything.
     val loadBaseline = load1
-    def awaitQuiet(level: Int): Unit = {
+    /** Returns true if the load gate was reached (level starts quiet);
+      * false means the bounded wait timed out and the level will run
+      * against live co-tenant load.
+      */
+    def awaitQuiet(level: Int): Boolean = {
       val gate = math.max(quietLoad, loadBaseline + 0.5)
       val waitS = math.min(quietWaitS, quietBudgetS)
       val t0 = System.nanoTime()
@@ -614,7 +629,9 @@ object Bench {
       while (load1 > gate && System.nanoTime() < deadline)
         Thread.sleep(10000)
       quietBudgetS -= ((System.nanoTime() - t0) / 1e9).toInt
-      loadSeen += ((level, load1))
+      val l1 = load1
+      loadSeen += ((level, l1))
+      l1 <= gate
     }
 
     // single-level mode: honest per-JVM isolation (JIT/GC state from one
@@ -665,7 +682,7 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     val levelsSorted = levels.sorted
     def runLevel(l: Int): Unit = if (ladderAborted.isEmpty) {
-      awaitQuiet(l)
+      val quiet = awaitQuiet(l)
       val fault = probeFaultMBps()
       faultSeen += ((l, fault))
       println(f"[bench] L$l host_fault_mbps=$fault%.0f")
@@ -679,6 +696,7 @@ object Bench {
         if (levelResults.get(l).forall(_._1 > r._1)) {
           levelResults(l) = r
           levelHostCpu(l) = cpu
+          levelContended(l) = !quiet
         }
       } catch {
         case h: HostTooSlow =>

@@ -1020,6 +1020,94 @@ object SparkEntry {
         count(lit(1)).over(w).as("n_in_hour"))
     }),
 
+    // ---- unpivot (wide -> long, the inverse of q22's pivot) ---------------
+    // Dataset.unpivot is a zero-shuffle Expand over the aggregated frame;
+    // metric values quantize to integer cents so both engines agree.
+    "q45_unpivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .unpivot(Array(col("event_type")),
+          Array(col("n_rows"), col("sum_cents")), "metric", "value")
+    }),
+
+    // ---- date-spine densification (gap-free time series) -------------------
+    // Daily event rollup left-joined onto a generated day spine so silent
+    // days appear as explicit zero rows. The spine is `sequence` over the
+    // global min/max day (O(days) rows from a 1-row agg — never a driver
+    // loop), and both join sides are post-aggregation small; the only big
+    // shuffle at any scale is the daily rollup itself.
+    "q40_date_spine" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("value"))
+      val daily = e.groupBy(col("d"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      val spine = e.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      spine.join(daily, Seq("d"), "left")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+    }),
+
+    // ---- fill-forward / LOCF gap fill (time-series imputation) ------------
+    // Last observed purchase amount carried forward across each user's
+    // event stream: last(IGNORE NULLS) over a ROWS running frame — one
+    // sort+Window pass per user partition, microsecond ts + event_id
+    // tie-break keeps it deterministic. Cents are per-row exact longs.
+    "q46_fill_forward" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .filter(col("user_id") % 37 === 0)
+        .withColumn("purchase_cents",
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          coalesce(last(col("purchase_cents"), ignoreNulls = true).over(w),
+            lit(-1L)).as("last_purchase_cents"))
+    }),
+
+    // ---- full outer join reconciliation ------------------------------------
+    // Per-(user, day) purchase revenue vs error counts: both sides aggregate
+    // on the join keys first, so their hash partitioning already satisfies
+    // the join — Catalyst plans the full outer with NO extra exchange. Rows
+    // survive from either side; coalesce makes the null semantics explicit.
+    "q47_full_outer" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          col("event_type"), col("value"))
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+      val er = e.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("d"))
+        .agg(count(lit(1)).as("n_errors"))
+      p.join(er, Seq("user_id", "d"), "full_outer")
+        .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("purchase_cents"), lit(0L)).as("purchase_cents"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    }),
+
+    // ---- regex term mining (regexp_extract_all + explode + top-k) ---------
+    // All ≥4-char lowercase runs across the corpus, counted, global top-10.
+    // Extraction+explode is a narrow codegen projection (zero shuffle), the
+    // count is one hash agg, and the cut plans as TakeOrderedAndProject
+    // (per-partition heaps — no full sort). count desc + word asc makes the
+    // boundary deterministic.
+    "t21_regex_mine" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]{4,}', 0)")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(10)
+    }),
+
     // ---- correlated scalar subquery (decorrelation surface) ---------------
     // Each customer's maximal order(s) via a correlated subquery; Catalyst
     // decorrelates it into an aggregate + equi-join (no per-row re-scan).
@@ -2077,6 +2165,62 @@ object SparkEntry {
          FROM orders o
          WHERE o_totalprice >= (SELECT max(o2.o_totalprice)
                                 FROM orders o2
-                                WHERE o2.o_custkey = o.o_custkey)"""
+                                WHERE o2.o_custkey = o.o_custkey)""",
+    "q40_date_spine" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_cents
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+         spine AS (
+           SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                    AS d
+           FROM bounds)
+         SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+                coalesce(n_events, 0) AS n_events,
+                coalesce(sum_cents, 0) AS sum_cents
+         FROM spine LEFT JOIN daily USING (d)""",
+    "q46_fill_forward" ->
+      """SELECT event_id, user_id, event_type,
+              coalesce(last_value(purchase_cents IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+                AS last_purchase_cents
+         FROM (SELECT event_id, user_id, event_type, ts,
+                      CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) END
+                        AS purchase_cents
+               FROM events WHERE user_id % 37 = 0)""",
+    "q47_full_outer" ->
+      """WITH p AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS purchase_cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         er AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_errors
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         SELECT coalesce(p.user_id, er.user_id) AS user_id,
+                strftime(coalesce(p.d, er.d), '%Y-%m-%d') AS day,
+                coalesce(purchase_cents, 0) AS purchase_cents,
+                coalesce(n_errors, 0) AS n_errors
+         FROM p FULL OUTER JOIN er ON p.user_id = er.user_id AND p.d = er.d""",
+    "t21_regex_mine" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS word
+           FROM documents)
+         GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""",
+    // row-equivalent long form (UNPIVOT syntax varies across DuckDB
+    // versions; the engine side is what demonstrates the operator)
+    "q45_unpivot" ->
+      """WITH agg AS (
+           SELECT event_type, count(*) AS n_rows,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_cents
+           FROM events GROUP BY 1)
+         SELECT event_type, 'n_rows' AS metric, n_rows AS value FROM agg
+         UNION ALL
+         SELECT event_type, 'sum_cents' AS metric, sum_cents AS value FROM agg"""
   )
 }

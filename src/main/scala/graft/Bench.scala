@@ -370,8 +370,16 @@ object Bench {
         ladderAborted.map(a => s""","ladder_aborted":"$a"""").getOrElse("")
       // queries_degraded is a one-glance verdict on the KEPT table: true
       // only when EVERY pass ran storm-bound (a single healthy pass makes
-      // the per-query minimums trustworthy)
+      // the per-query minimums trustworthy). queries_provenance labels a
+      // table that exists ONLY via cross-run seeding (a storm-slowed
+      // ladder can starve the query phase entirely — 2026-08-19 run): the
+      // values are real healthy-window minima, but not THIS run's.
+      val qProv =
+        if (queryPassJson.nonEmpty) "this_run"
+        else if (seededHealthy) "seeded_prior_artifact_no_pass_this_run"
+        else "none"
       val qHealth = s""","queries_passes":${queryPassJson.mkString("[", ",", "]")},""" +
+        s""""queries_provenance":"$qProv",""" +
         s""""queries_degraded":${!seededHealthy && queryPassDegraded.nonEmpty && queryPassDegraded.forall(identity)}"""
       s"""{"metric":"total","value":$queriesTotal,"unit":"sec","queries":$qs$qHealth,""" +
         s""""sf":"$sfDir","complete":$done$aborted,"kb_pipeline":$pipeline}"""

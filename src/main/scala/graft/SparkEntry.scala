@@ -1108,6 +1108,51 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- paragraph-level corpus dedup (C4-style line dedup) ---------------
+    // Docs split into 8-token segments; each segment kept only at its FIRST
+    // corpus-wide occurrence ((doc_id, seg_idx) order — deterministic), and
+    // surviving segments reassembled in place. One shuffle on the segment
+    // content (the dedup key itself — unavoidable), one back per doc; the
+    // reassembly collect is bounded by a single document's length. The
+    // result carries a fingerprint of the rewritten text, not the text.
+    "t22_para_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.paragraphDedup(documents(s, dir), "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          md5(col("new_text")).as("fp"))
+    }),
+
+    // ---- regex redaction (PII-style masking) -------------------------------
+    // Global regexp_replace of entity-like tokens with a placeholder plus a
+    // per-doc hit count: a narrow, codegen'd projection — zero shuffle, and
+    // the doc_id filter prunes at the scan. Output is a fingerprint of the
+    // redacted text so the compare stays compact.
+    "t23_redact" -> ((s, dir) => {
+      documents(s, dir)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '\\\\b(customer|supplier)\\\\b', 0)"))
+            .cast("long").as("n_hits"),
+          md5(regexp_replace(col("text"), "\\b(customer|supplier)\\b", "<ENT>"))
+            .as("fp"))
+    }),
+
+    // ---- sliding-window COUNT DISTINCT (trailing 3-day active users) ------
+    // Distinct-over-window isn't a Spark window function; the scalable shape
+    // is fanout: collapse to distinct (type, day, user) first, then explode
+    // each row to the 3 window-end days it contributes to and hash-aggregate
+    // a plain count distinct. Fanout factor = window length (bounded, 3),
+    // applied AFTER the distinct collapse — never to the raw event stream.
+    "q48_sliding_dau" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        .distinct()
+        .withColumn("w", explode(sequence(col("d"), date_add(col("d"), 2))))
+        .groupBy(col("event_type"), col("w"))
+        .agg(countDistinct(col("user_id")).as("dau3"))
+        .select(col("event_type"),
+          date_format(col("w"), "yyyy-MM-dd").as("day"), col("dau3"))
+    }),
+
     // ---- correlated scalar subquery (decorrelation surface) ---------------
     // Each customer's maximal order(s) via a correlated subquery; Catalyst
     // decorrelates it into an aggregate + equi-join (no per-row re-scan).
@@ -2211,6 +2256,46 @@ object SparkEntry {
            SELECT unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS word
            FROM documents)
          GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""",
+    "t22_para_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         segs AS (
+           SELECT doc_id, i AS seg_idx,
+                  array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+           FROM toks,
+                unnest(generate_series(0, CAST(ceil(len(t)/8.0) AS INT) - 1))
+                  AS u(i)),
+         ranked AS (
+           SELECT doc_id, seg_idx, seg,
+                  row_number() OVER (PARTITION BY seg
+                                     ORDER BY doc_id, seg_idx) AS rn
+           FROM segs)
+         SELECT doc_id,
+                count(*) FILTER (rn = 1) AS n_kept,
+                count(*) FILTER (rn > 1) AS n_dropped,
+                md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                               FILTER (rn = 1), '')) AS fp
+         FROM ranked GROUP BY doc_id""",
+    "t23_redact" ->
+      """SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b'))
+                AS BIGINT) AS n_hits,
+              md5(regexp_replace(text, '\b(customer|supplier)\b', '<ENT>', 'g'))
+                AS fp
+         FROM documents WHERE doc_id % 7 = 0""",
+    "q48_sliding_dau" ->
+      """WITH active AS (
+           SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+           FROM events),
+         fan AS (
+           SELECT event_type,
+                  CAST(unnest(generate_series(d, d + INTERVAL 2 DAY,
+                                              INTERVAL 1 DAY)) AS DATE) AS w,
+                  user_id
+           FROM active)
+         SELECT event_type, strftime(w, '%Y-%m-%d') AS day,
+                count(DISTINCT user_id) AS dau3
+         FROM fan GROUP BY 1, 2""",
     // row-equivalent long form (UNPIVOT syntax varies across DuckDB
     // versions; the engine side is what demonstrates the operator)
     "q45_unpivot" ->

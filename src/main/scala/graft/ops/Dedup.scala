@@ -72,6 +72,35 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** C4-style segment-level corpus dedup: docs split into fixed-size
+    * token segments; each distinct segment survives only at its FIRST
+    * corpus-wide occurrence (ordered by (doc_id, seg_idx) — deterministic
+    * under any partitioning), and survivors are reassembled in place.
+    * One shuffle on the segment content (the dedup key itself), one back
+    * per doc; the reassembly collect is bounded by a single document's
+    * segment count. Returns (doc_id, n_kept, n_dropped, new_text).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     segTokens: Int = 8): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(t) / $segTokens.0) as int) - 1),
+            i -> concat_ws(' ', slice(t, i * $segTokens + 1, $segTokens)))""")))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id").asc, col("seg_idx").asc)
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("count(CASE WHEN rn = 1 THEN 1 END)").as("n_kept"),
+        expr("count(CASE WHEN rn > 1 THEN 1 END)").as("n_dropped"),
+        expr("""concat_ws(' ', transform(array_sort(
+               collect_list(CASE WHEN rn = 1 THEN struct(seg_idx, seg) END)),
+               x -> x.seg))""").as("new_text"))
+  }
+
   private val minhashUdf = udf((shingles: Seq[String]) => {
     val sig = Array.fill(MinHashK)(Int.MaxValue)
     shingles.foreach { s =>

@@ -237,6 +237,24 @@ class OpsSpec extends SparkTestBase {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("paragraph dedup: first corpus-wide occurrence survives, in place") {
+    // doc 1 and doc 2 share segment "a b c d" (4-token segments); doc 1
+    // wins by doc_id order. doc 3 is a full duplicate of doc 1's first
+    // segment only — everything it has gets dropped. Short tail segments
+    // keep their (shorter) text verbatim.
+    val docs = Seq(
+      (1L, "a b c d e f g h tail"),
+      (2L, "a b c d q r s t"),
+      (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((3L, 0L, "a b c d e f g h tail")))
+    assert(out(2L) == ((1L, 1L, "q r s t")))
+    assert(out(3L) == ((0L, 1L, "")))
+  }
+
   test("simhash pairs find the planted near-dup only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),

@@ -35,4 +35,22 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("regex-mine top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("t21_regex_mine")(spark, sfUnit)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("full outer join reuses the aggregation partitioning (no 3rd exchange)") {
+    // Both sides pre-aggregate on the join keys, so the join itself must
+    // not introduce an exchange: exactly two shuffles (one per groupBy),
+    // or fewer if AQE folds them. A third exchange means the join keys
+    // drifted from the aggregation keys and the documented plan is gone.
+    val plan = SparkEntry.queries("q47_full_outer")(spark, sfUnit)
+      .queryExecution.sparkPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$plan")
+    assert(plan.contains("FullOuter"), plan)
+  }
 }

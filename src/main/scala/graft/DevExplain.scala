@@ -28,7 +28,8 @@ object DevExplain {
       "q37_collect", "q38_star_join", "q41_bm25", "q42_setops",
       "q43_range_frame", "q44_subquery", "q45_unpivot", "q40_date_spine",
       "q46_fill_forward", "q47_full_outer", "t21_regex_mine",
-      "t22_para_dedup", "t23_redact", "q48_sliding_dau").foreach { q =>
+      "t22_para_dedup", "t23_redact", "q48_sliding_dau",
+      "t24_rrf", "t25_bigram_lm").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

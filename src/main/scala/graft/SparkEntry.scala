@@ -1153,6 +1153,33 @@ object SparkEntry {
           date_format(col("w"), "yyyy-MM-dd").as("day"), col("dau3"))
     }),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion (BM25 + dense) ----------
+    // Lexical BM25 ranker over documents fused with an embedding-cosine
+    // ranker (query = vector 0) via RRF. Each ranker is cut to its top-100
+    // by a per-partition heap BEFORE the unpartitioned rank window, so the
+    // single-partition stage sees ≤100 rows regardless of corpus size.
+    "t24_rrf" -> ((s, dir) => {
+      val lex = graft.ops.Bm25.scores(documents(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "query"))
+      val emb = embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("v"))
+      val dense = emb
+        .crossJoin(broadcast(emb.filter(col("doc_id") === 0)
+          .select(col("v").as("qv"))))
+        .withColumn("cos",
+          graft.functions.Similarity.cosineCol(col("v"), col("qv")))
+        .select(col("doc_id"), col("cos"))
+      graft.ops.Fusion.rrf(lex, col("score_scaled"), dense, col("cos"),
+        "doc_id", perList = 100, k = 60, topK = 50)
+    }),
+
+    // ---- bigram language-model estimation ---------------------------------
+    // P(w2|w1) corpus-wide: one (w1,w2) hash-agg shuffle; prefix counts
+    // re-aggregated from the bigram counts (no second corpus scan); top-k
+    // as TakeOrderedAndProject.
+    "t25_bigram_lm" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bigramLm(documents(s, dir), "text", topK = 20)),
+
     // ---- correlated scalar subquery (decorrelation surface) ---------------
     // Each customer's maximal order(s) via a correlated subquery; Catalyst
     // decorrelates it into an aggregate + equi-join (no per-row re-scan).
@@ -2296,6 +2323,64 @@ object SparkEntry {
          SELECT event_type, strftime(w, '%Y-%m-%d') AS day,
                 count(DISTINCT user_id) AS dau3
          FROM fan GROUP BY 1, 2""",
+    "t24_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                       FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         params AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN ('spark', 'merge', 'query') GROUP BY 1, 2),
+         dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  CAST(round(
+                    ln(1.0 + (CAST(p.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                             / (CAST(f.df AS DOUBLE) + 0.5))
+                    * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(t.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE)
+                                / (CAST(p.sum_dl AS DOUBLE) / CAST(p.n_docs AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS s_scaled
+           FROM tf t JOIN dft f USING (tok) JOIN dl d USING (doc_id)
+           CROSS JOIN params p),
+         lex AS (SELECT doc_id, CAST(sum(s_scaled) AS BIGINT) AS score_scaled
+                 FROM scored GROUP BY 1),
+         lexr AS (SELECT doc_id, row_number() OVER
+                    (ORDER BY score_scaled DESC, doc_id ASC) AS rank_a
+                  FROM (SELECT * FROM lex
+                        ORDER BY score_scaled DESC, doc_id ASC LIMIT 100)),
+         dense AS (SELECT c.vec_id AS doc_id,
+                          list_cosine_similarity(c.embedding, q.embedding) AS cos
+                   FROM embeddings c,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+         denser AS (SELECT doc_id, row_number() OVER
+                      (ORDER BY cos DESC, doc_id ASC) AS rank_b
+                    FROM (SELECT * FROM dense
+                          ORDER BY cos DESC, doc_id ASC LIMIT 100)),
+         fused AS (
+           SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.rank_a, d.rank_b
+           FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
+         SELECT doc_id, coalesce(rank_a, 0) AS rank_a,
+                coalesce(rank_b, 0) AS rank_b,
+                CAST(round((
+                  CASE WHEN rank_a IS NOT NULL
+                       THEN 1.0 / (CAST(rank_a AS DOUBLE) + 60.0) ELSE 0.0 END
+                + CASE WHEN rank_b IS NOT NULL
+                       THEN 1.0 / (CAST(rank_b AS DOUBLE) + 60.0) ELSE 0.0 END
+                ) * 1000000000.0) AS BIGINT) AS rrf_scaled
+         FROM fused ORDER BY rrf_scaled DESC, doc_id ASC LIMIT 50""",
+    "t25_bigram_lm" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS t
+                    FROM documents),
+         bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+                FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         c2 AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
+         SELECT c2.w1, c2.w2, c2.n,
+                CAST(round(CAST(c2.n AS DOUBLE) / CAST(c1.n1 AS DOUBLE)
+                           * 1000000.0) AS BIGINT) AS p_scaled
+         FROM c2 JOIN c1 ON c2.w1 = c1.w1
+         ORDER BY c2.n DESC, c2.w1 ASC, c2.w2 ASC LIMIT 20""",
     // row-equivalent long form (UNPIVOT syntax varies across DuckDB
     // versions; the engine side is what demonstrates the operator)
     "q45_unpivot" ->

@@ -33,7 +33,17 @@ object Bm25 {
     */
   def topDocs(docs: DataFrame, idCol: String, textCol: String,
               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-              topK: Int = 10): DataFrame = {
+              topK: Int = 10): DataFrame =
+    scores(docs, idCol, textCol, terms, k1, b)
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+      .limit(topK)
+
+  /** Every matched doc's BM25 score, unlimited — the ranker leg for
+    * fusion ([[Fusion.rrf]]); callers cut it with their own heap limit.
+    */
+  def scores(docs: DataFrame, idCol: String, textCol: String,
+             terms: Seq[String], k1: Double = 1.2,
+             b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -56,7 +66,5 @@ object Bm25 {
       .withColumn("s_scaled", round(s * lit(1000000.0)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("s_scaled")).as("score_scaled"))
-      .orderBy(col("score_scaled").desc, col("doc_id").asc)
-      .limit(topK)
   }
 }

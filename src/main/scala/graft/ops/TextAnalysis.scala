@@ -105,6 +105,42 @@ object TextAnalysis {
           col("n_bigrams") * lit(flagNum))
   }
 
+  /** Bigram language-model estimation over a corpus: maximum-likelihood
+    * conditional probabilities P(w2 | w1) = c(w1 w2) / c(w1 ·) — the
+    * count stage of a KenLM-style n-gram LM used for perplexity-based
+    * quality filtering of training data (public technique: CCNet,
+    * Wenzek et al. 2020).
+    *
+    * Plan shape at 100 TB: bigrams come from one narrow
+    * split+transform+explode projection (codegen), then ONE hash
+    * aggregate on (w1, w2) with map-side partial combine — the only
+    * corpus-size shuffle. The prefix counts c(w1 ·) are re-aggregated
+    * from the (much smaller) bigram-count frame, never from a second
+    * corpus scan, and the prefix join keys on w1 where both sides are
+    * already aggregates. Global top-k is orderBy(...).limit(k) —
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Determinism: counts are exact longs; p is one double division
+    * quantized to a scaled long (same IEEE op in the SQL oracle).
+    */
+  def bigramLm(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val pairs = df
+      .select(split(lower(col(textCol)), "\\s+").as("t"))
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n")).as("n1"))
+    c2.join(c1, Seq("w1"))
+      .withColumn("p_scaled",
+        round(col("n").cast("double") / col("n1").cast("double") * lit(1e6))
+          .cast("long"))
+      .select("w1", "w2", "n", "p_scaled")
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Rolling polynomial fingerprint over tokens (64-bit, deterministic):
     * document-level content hash robust to whitespace layout.
     */

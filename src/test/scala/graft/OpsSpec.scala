@@ -255,6 +255,36 @@ class OpsSpec extends SparkTestBase {
     assert(out(3L) == ((0L, 1L, "")))
   }
 
+  test("rrf fuses bounded top-k lists; missing side contributes nothing") {
+    // lexical ranker: 1 > 2 > 3; dense ranker: 2 > 4. perList = 2 cuts
+    // doc 3 from the lexical list entirely. Doc 2 appears in both lists
+    // and must win; docs 1 and 4 carry a single-list contribution with
+    // the absent rank reported as 0.
+    val lex = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("doc_id", "score")
+    val dense = Seq((2L, 0.9), (4L, 0.8)).toDF("doc_id", "cos")
+    val out = graft.ops.Fusion.rrf(lex, col("score"), dense, col("cos"),
+      "doc_id", perList = 2, k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    def rrf(ranks: Int*): Long =
+      math.round(ranks.map(r => 1.0 / (r + 60.0)).sum * 1e9)
+    assert(out.toSeq == Seq(
+      (2L, 2, 1, rrf(2, 1)),
+      (1L, 1, 0, rrf(1)),
+      (4L, 0, 2, rrf(2))))
+  }
+
+  test("bigram LM: conditional probabilities from one corpus aggregate") {
+    // "a b a b" yields bigrams (a,b),(b,a),(a,b); "a c" yields (a,c).
+    // Prefix counts derive from the bigram counts: c(a ·)=3, c(b ·)=1.
+    val docs = Seq("a b a b", "a c").toDF("text")
+    val out = graft.ops.TextAnalysis.bigramLm(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 666667L),
+      ("a", "c", 1L, 333333L),
+      ("b", "a", 1L, 1000000L)))
+  }
+
   test("simhash pairs find the planted near-dup only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),

@@ -42,6 +42,16 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("rrf cuts each ranker with a heap before the rank window") {
+    // Both per-list cuts must plan TakeOrderedAndProject (per-partition
+    // heap); the unpartitioned row_number window then sees only the
+    // bounded candidate lists, never the corpus.
+    val plan = SparkEntry.queries("t24_rrf")(spark, sfUnit)
+      .queryExecution.sparkPlan.toString
+    val heaps = plan.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(heaps >= 2, s"expected >=2 TakeOrderedAndProject, got $heaps\n$plan")
+  }
+
   test("full outer join reuses the aggregation partitioning (no 3rd exchange)") {
     // Both sides pre-aggregate on the join keys, so the join itself must
     // not introduce an exchange: exactly two shuffles (one per groupBy),

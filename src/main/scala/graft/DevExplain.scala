@@ -29,7 +29,8 @@ object DevExplain {
       "q43_range_frame", "q44_subquery", "q45_unpivot", "q40_date_spine",
       "q46_fill_forward", "q47_full_outer", "t21_regex_mine",
       "t22_para_dedup", "t23_redact", "q48_sliding_dau",
-      "t24_rrf", "t25_bigram_lm").foreach { q =>
+      "t24_rrf", "t25_bigram_lm", "t26_pmi", "t27_tfidf",
+      "t28_entropy", "t29_kl", "q49_markov").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -1180,6 +1180,57 @@ object SparkEntry {
     "t25_bigram_lm" -> ((s, dir) =>
       graft.ops.TextAnalysis.bigramLm(documents(s, dir), "text", topK = 20)),
 
+    // ---- PMI collocation mining --------------------------------------------
+    // Multi-word-expression detection: PMI over the single corpus bigram
+    // aggregate with a min-count floor; marginals re-aggregated from the
+    // bigram-count frame, scalar total broadcast.
+    "t26_pmi" -> ((s, dir) =>
+      graft.ops.TextAnalysis.pmiCollocations(documents(s, dir), "text",
+        minCount = 5, topK = 30)),
+
+    // ---- TF-IDF top terms per document -------------------------------------
+    // Per-doc keyword extraction; the rank window partitions BY DOC, so
+    // the heap work is embarrassingly parallel at any corpus size.
+    "t27_tfidf" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tfidfTopTerms(documents(s, dir), "doc_id",
+        "text", k = 3)),
+
+    // ---- per-doc token entropy ---------------------------------------------
+    // Quality feature: token-distribution entropy; per-term quantized
+    // longs summed exactly (order-independent across engines).
+    "t28_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenEntropy(documents(s, dir), "doc_id", "text")),
+
+    // ---- corpus-slice KL divergence ----------------------------------------
+    // Domain-shift detection between even/odd doc-id slices: both slice
+    // counts from ONE corpus aggregate; smoothed over the joint vocab.
+    "t29_kl" -> ((s, dir) =>
+      graft.ops.TextAnalysis.klDivergence(documents(s, dir), "doc_id", "text")),
+
+    // ---- Markov transition matrix over event sequences ---------------------
+    // Sequence mining: per-user next-event via lead() (ONE shuffle on
+    // user_id, parallel windows), then a tiny (from,to) aggregate whose
+    // row-count is bounded by |event_type|^2 — from-totals re-aggregate
+    // that frame, never the event stream. P(to|from) quantized; ties in
+    // event ordering broken by event_id so both engines see one sequence.
+    "q49_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .join(trans.groupBy("from_type").agg(sum(col("n")).as("n_from")),
+          Seq("from_type"))
+        .withColumn("p_scaled",
+          round(col("n").cast("double") / col("n_from").cast("double")
+            * lit(1e6)).cast("long"))
+        .select("from_type", "to_type", "n", "p_scaled")
+    }),
+
     // ---- correlated scalar subquery (decorrelation surface) ---------------
     // Each customer's maximal order(s) via a correlated subquery; Catalyst
     // decorrelates it into an aggregate + equi-join (no per-row re-scan).
@@ -2381,6 +2432,95 @@ object SparkEntry {
                            * 1000000.0) AS BIGINT) AS p_scaled
          FROM c2 JOIN c1 ON c2.w1 = c1.w1
          ORDER BY c2.n DESC, c2.w1 ASC, c2.w2 ASC LIMIT 20""",
+    "t26_pmi" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS t
+                    FROM documents),
+         bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+                FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         c2 AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2),
+         cl AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+         cr AS (SELECT w2, CAST(sum(n) AS BIGINT) AS n2 FROM c2 GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tb FROM c2)
+         SELECT c2.w1, c2.w2, c2.n,
+                CAST(round(ln(CAST(c2.n AS DOUBLE) * CAST(tot.tb AS DOUBLE)
+                              / (CAST(cl.n1 AS DOUBLE) * CAST(cr.n2 AS DOUBLE)))
+                           * 1000000.0) AS BIGINT) AS pmi_scaled
+         FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+         WHERE c2.n >= 5
+         ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC LIMIT 30""",
+    "t27_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(string_split_regex(lower(text), '\s+')) AS word
+                       FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         scored AS (
+           SELECT t.doc_id, t.word, t.tf,
+                  CAST(round(CAST(t.tf AS DOUBLE)
+                             * (ln((CAST(nd.n_docs AS DOUBLE) + 1.0)
+                                   / (CAST(f.df AS DOUBLE) + 1.0)) + 1.0)
+                             * 1000000.0) AS BIGINT) AS score_scaled
+           FROM tf t JOIN dfreq f USING (word) CROSS JOIN nd),
+         r AS (SELECT doc_id,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_scaled DESC, word ASC) AS INTEGER) AS rnk,
+                      word, tf, score_scaled
+               FROM scored)
+         SELECT doc_id, rnk, word, tf, score_scaled FROM r WHERE rnk <= 3""",
+    "t28_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+                              unnest(string_split_regex(lower(text), '\s+')) AS word
+                       FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         wd AS (SELECT doc_id, tf,
+                       CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+                FROM tf),
+         terms AS (SELECT doc_id, dl,
+                          CAST(round(-(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+                                     * ln(CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+                                     * 1000000000.0) AS BIGINT) AS ts
+                   FROM wd)
+         SELECT doc_id, CAST(max(dl) AS BIGINT) AS n_tokens,
+                CAST(sum(ts) AS BIGINT) AS h_scaled
+         FROM terms GROUP BY 1""",
+    "t29_kl" ->
+      """WITH toks AS (SELECT doc_id % 2 = 0 AS is_p,
+                              unnest(string_split_regex(lower(text), '\s+')) AS word
+                       FROM documents),
+         counts AS (SELECT word,
+                           CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                           CAST(sum(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS cq
+                    FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                        CAST(sum(cq) AS BIGINT) AS tq,
+                        count(*) AS v
+                 FROM counts),
+         terms AS (SELECT tot.v,
+                          (CAST(cp AS DOUBLE) + 1.0)
+                            / CAST(tot.tp + tot.v AS DOUBLE) AS p,
+                          (CAST(cq AS DOUBLE) + 1.0)
+                            / CAST(tot.tq + tot.v AS DOUBLE) AS q
+                   FROM counts CROSS JOIN tot)
+         SELECT CAST(max(v) AS BIGINT) AS n_vocab,
+                CAST(sum(CAST(round(p * ln(p / q) * 1000000000.0) AS BIGINT))
+                     AS BIGINT) AS kl_scaled
+         FROM terms""",
+    "q49_markov" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) AS next_type
+           FROM events),
+         c AS (SELECT event_type AS from_type, next_type AS to_type,
+                      count(*) AS n
+               FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+                FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+                CAST(round(CAST(c.n AS DOUBLE) / CAST(ft.n_from AS DOUBLE)
+                           * 1000000.0) AS BIGINT) AS p_scaled
+         FROM c JOIN ft USING (from_type)""",
     // row-equivalent long form (UNPIVOT syntax varies across DuckDB
     // versions; the engine side is what demonstrates the operator)
     "q45_unpivot" ->

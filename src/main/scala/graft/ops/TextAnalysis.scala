@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -123,14 +124,26 @@ object TextAnalysis {
     * Determinism: counts are exact longs; p is one double division
     * quantized to a scaled long (same IEEE op in the SQL oracle).
     */
+  /** Adjacent-token pairs per row: (w1, w2). `slice` with length 0 (a
+    * 1-token doc) yields an empty zip — unlike `sequence(1, size-1)`,
+    * which DESCENDS for size=1 (Spark auto-steps -1) and would emit
+    * null-padded bigrams.
+    */
+  private def bigramPairs(df: DataFrame, textCol: String): DataFrame =
+    df.select(split(lower(col(textCol)), "\\s+").as("t"))
+      .withColumn("w1s", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("w2s", slice(col("t"), lit(2), size(col("t")) - 1))
+      .select(explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+
+  /** Corpus bigram counts: ONE hash aggregate on (w1, w2) — the only
+    * corpus-size shuffle shared by [[bigramLm]] and [[pmiCollocations]].
+    */
+  private def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    bigramPairs(df, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+
   def bigramLm(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
-    val pairs = df
-      .select(split(lower(col(textCol)), "\\s+").as("t"))
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
-        .as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val c2 = bigramCounts(df, textCol)
     val c1 = c2.groupBy("w1").agg(sum(col("n")).as("n1"))
     c2.join(c1, Seq("w1"))
       .withColumn("p_scaled",
@@ -139,6 +152,135 @@ object TextAnalysis {
       .select("w1", "w2", "n", "p_scaled")
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
+  }
+
+  /** PMI collocation mining: pointwise mutual information
+    * ln(N·c(w1,w2) / (c(w1,·)·c(·,w2))) over corpus bigrams with a
+    * minimum-count floor (rare pairs have unreliable, inflated PMI) —
+    * the standard collocation/multi-word-expression detector (Church &
+    * Hanks 1990).
+    *
+    * Plan shape at 100 TB: everything derives from the ONE (w1,w2)
+    * bigram aggregate — left/right marginals and the grand total are
+    * re-aggregations of that (much smaller) count frame, never second
+    * corpus scans; the scalar total joins in as a broadcast. Top-k is
+    * TakeOrderedAndProject.
+    *
+    * Determinism: all PMI inputs are exact longs; one ln + quantize per
+    * surviving pair, mirrored in the SQL oracle; ties broken (w1, w2).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                      topK: Int = 30): DataFrame = {
+    val c2 = bigramCounts(df, textCol)
+    val cl = c2.groupBy("w1").agg(sum(col("n")).as("n1"))
+    val cr = c2.groupBy("w2").agg(sum(col("n")).as("n2"))
+    val tot = c2.agg(sum(col("n")).as("t_bigrams"))
+    c2.filter(col("n") >= minCount)
+      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_scaled",
+        round(log(col("n").cast("double") * col("t_bigrams").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))) * lit(1e6))
+          .cast("long"))
+      .select("w1", "w2", "n", "pmi_scaled")
+      .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** TF-IDF top-k terms per document — the per-doc keyword extractor a
+    * curation pipeline uses for topic tagging and index previews.
+    * Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf form,
+    * public formula), score = tf · idf.
+    *
+    * Plan shape at 100 TB: one corpus shuffle to (doc, word) term
+    * counts; document frequency and the doc count are re-aggregations
+    * of that frame (no second scan); the scalar N broadcasts. The
+    * row_number window partitions BY DOC — thousands of small
+    * independent heaps, never a single-partition window.
+    *
+    * Determinism: tf/df/N are exact longs; one ln + quantize per term;
+    * the rank orders by the QUANTIZED score with (word) tie-break, so
+    * both engines cut identical top-k sets.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_scaled",
+        round(col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + lit(1.0)) /
+               (col("df").cast("double") + lit(1.0))) + lit(1.0)) * lit(1e6))
+          .cast("long"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_scaled").desc, col("word").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
+        col("score_scaled"))
+  }
+
+  /** Per-document token-distribution entropy H = -Σ p ln p — a quality
+    * feature separating natural text (high entropy) from boilerplate /
+    * repetition (low), used alongside [[qualityFeatures]].
+    *
+    * Plan shape: one shuffle to (doc, word) counts; the doc length
+    * comes from a window partitioned by doc_id and the final per-doc
+    * sum groups on the SAME key, so the groupBy reuses the window's
+    * exchange (no second shuffle).
+    *
+    * Determinism: each -p·ln p term is quantized to a scaled long
+    * BEFORE summation — the per-doc sum is exact integer arithmetic,
+    * independent of aggregation order on both engines (doubles summed
+    * in engine-dependent order would drift in the last bits).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val p = col("tf").cast("double") / col("dl").cast("double")
+    tf.withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("term_scaled", round(-p * log(p) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).as("n_tokens"), sum(col("term_scaled")).as("h_scaled"))
+  }
+
+  /** KL divergence KL(P‖Q) between the unigram distributions of two
+    * corpus slices (here: even vs odd doc ids) with add-one smoothing
+    * over the joint vocabulary — the domain-shift / contamination
+    * detector a data-mixing pipeline runs between a candidate source
+    * and its reference corpus (CCNet-adjacent, public technique).
+    *
+    * Plan shape at 100 TB: ONE corpus shuffle producing per-word counts
+    * for both slices simultaneously (conditional sums in a single hash
+    * aggregate — never two scans); totals and vocabulary size broadcast
+    * as a one-row frame; the result is a single global sum.
+    *
+    * Determinism: per-word contributions p·ln(p/q) are quantized to
+    * scaled longs before the final sum (order-independent integer
+    * arithmetic), mirrored exactly in the oracle.
+    */
+  def klDivergence(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select((col(idCol) % 2 === 0).as("is_p"),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .groupBy("word")
+      .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
+           sum(when(!col("is_p"), 1L).otherwise(0L)).as("cq"))
+    val totals = counts.agg(sum(col("cp")).as("tp"), sum(col("cq")).as("tq"),
+      count(lit(1)).as("v"))
+    val p = (col("cp") + lit(1L)).cast("double") /
+      (col("tp") + col("v")).cast("double")
+    val q = (col("cq") + lit(1L)).cast("double") /
+      (col("tq") + col("v")).cast("double")
+    counts.crossJoin(broadcast(totals))
+      .withColumn("term_scaled", round(p * log(p / q) * lit(1e9)).cast("long"))
+      .agg(max(col("v")).as("n_vocab"), sum(col("term_scaled")).as("kl_scaled"))
   }
 
   /** Rolling polynomial fingerprint over tokens (64-bit, deterministic):

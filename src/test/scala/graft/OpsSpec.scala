@@ -276,13 +276,70 @@ class OpsSpec extends SparkTestBase {
   test("bigram LM: conditional probabilities from one corpus aggregate") {
     // "a b a b" yields bigrams (a,b),(b,a),(a,b); "a c" yields (a,c).
     // Prefix counts derive from the bigram counts: c(a ·)=3, c(b ·)=1.
-    val docs = Seq("a b a b", "a c").toDF("text")
+    // The 1-token doc "z" must contribute NO bigrams (the slice/zip pair
+    // shape yields an empty list — a sequence(1, size-1) shape would
+    // DESCEND for size=1 and emit null-padded pairs).
+    val docs = Seq("a b a b", "a c", "z").toDF("text")
     val out = graft.ops.TextAnalysis.bigramLm(docs, "text", topK = 10)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(
       ("a", "b", 2L, 666667L),
       ("a", "c", 1L, 333333L),
       ("b", "a", 1L, 1000000L)))
+  }
+
+  test("pmi collocations: marginals from the bigram frame, min-count floor") {
+    // "x y x y x y" -> xy:3, yx:2; "a b" -> ab:1. T=6; c(x·)=3, c(y·)=2,
+    // c(·y)=3, c(·x)=2. minCount=2 drops ab. Expectations computed with
+    // the same IEEE ln + quantize the engines run.
+    val docs = Seq("x y x y x y", "a b").toDF("text")
+    val out = graft.ops.TextAnalysis.pmiCollocations(docs, "text",
+      minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def pmi(n: Long, n1: Long, n2: Long, t: Long): Long =
+      math.round(math.log(n.toDouble * t.toDouble / (n1.toDouble * n2.toDouble)) * 1e6)
+    assert(out.toSeq == Seq(
+      ("y", "x", 2L, pmi(2, 2, 2, 6)),   // ln 3 — rarer pair, higher PMI
+      ("x", "y", 3L, pmi(3, 3, 3, 6))))  // ln 2
+  }
+
+  test("tfidf top terms: per-doc rank over smoothed idf") {
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    def score(tf: Long, df: Long, n: Long): Long =
+      math.round(tf.toDouble * (math.log((n + 1.0) / (df + 1.0)) + 1.0) * 1e6)
+    assert(out.toSeq == Seq(
+      (1L, 1, "apple", 2L, score(2, 1, 2)),
+      (1L, 2, "banana", 1L, score(1, 2, 2)),
+      (2L, 1, "cherry", 1L, score(1, 1, 2)),
+      (2L, 2, "banana", 1L, score(1, 2, 2))))
+  }
+
+  test("token entropy: quantized terms sum exactly; degenerate doc is 0") {
+    val docs = Seq((1L, "a a b b"), (2L, "x")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val half = math.round(-0.5 * math.log(0.5) * 1e9)
+    assert(out.toSeq == Seq((1L, 4L, 2 * half), (2L, 1L, 0L)))
+  }
+
+  test("kl divergence: one conditional aggregate, add-one smoothing") {
+    // P = even ids {a a b}, Q = odd ids {a c}; joint vocab {a,b,c}, v=3,
+    // tp=3, tq=2. Per-word terms quantized then summed exactly.
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val Seq((nVocab, kl)) = graft.ops.TextAnalysis
+      .klDivergence(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def term(cp: Long, cq: Long): Long = {
+      val p = (cp + 1.0) / 6.0; val q = (cq + 1.0) / 5.0
+      math.round(p * math.log(p / q) * 1e9)
+    }
+    assert(nVocab == 3L)
+    assert(kl == term(2, 1) + term(1, 0) + term(0, 1))
   }
 
   test("simhash pairs find the planted near-dup only") {

@@ -13,6 +13,18 @@ object DevExplain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // exec=<query>: RUN the query and dump the post-execution adaptive
+    // plan — runtime exchange/stage reuse (AQE) is invisible in the
+    // static formatted plan, so multi-branch reuse must be audited here.
+    args.collectFirst { case s if s.startsWith("exec=") => s.substring(5) }
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect()
+        println(s"===== $q (executed) =====")
+        println(df.queryExecution.executedPlan.toString)
+        spark.stop()
+        return
+      }
     Seq("q1_agg", "q3_join_agg", "q8_pagination", "t6_ngram_neardup",
       "e1_ann_topk", "kg_sections", "t10_dedup_canon",
       "kg_media_resized", "kg_media_frames",

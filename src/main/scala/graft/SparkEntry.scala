@@ -1210,21 +1210,22 @@ object SparkEntry {
     // ---- Markov transition matrix over event sequences ---------------------
     // Sequence mining: per-user next-event via lead() (ONE shuffle on
     // user_id, parallel windows), then a tiny (from,to) aggregate whose
-    // row-count is bounded by |event_type|^2 — from-totals re-aggregate
-    // that frame, never the event stream. P(to|from) quantized; ties in
-    // event ordering broken by event_id so both engines see one sequence.
+    // row-count is bounded by |event_type|^2. From-totals attach as a
+    // window sum over that frame (single consumer — a self-join would
+    // re-execute the event window twice; see TextAnalysis.bigramLm).
+    // P(to|from) quantized; ties in event ordering broken by event_id
+    // so both engines see one sequence.
     "q49_markov" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      val trans = events(s, dir)
+      events(s, dir)
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("from_type"),
           col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
-      trans
-        .join(trans.groupBy("from_type").agg(sum(col("n")).as("n_from")),
-          Seq("from_type"))
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
         .withColumn("p_scaled",
           round(col("n").cast("double") / col("n_from").cast("double")
             * lit(1e6)).cast("long"))
@@ -2454,7 +2455,7 @@ object SparkEntry {
                        FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
          dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
          scored AS (
            SELECT t.doc_id, t.word, t.tf,
                   CAST(round(CAST(t.tf AS DOUBLE)

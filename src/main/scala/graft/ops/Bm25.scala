@@ -9,13 +9,20 @@ import org.apache.spark.sql.functions._
   * algorithm (Robertson & Walker, SIGIR'94; the +1 idf variant used by
   * Lucene keeps idf positive for terms present in most documents).
   *
-  * Plan shape at 100 TB: one explode+hash-agg over the corpus for
-  * (doc, term) tf restricted to the query terms (the filter sits before
-  * the aggregation, so non-query tokens never shuffle); doc lengths are
-  * a second narrow aggregate of the same scan; the term df table and
-  * the scalar (N, sum_dl) frame broadcast. The final top-k is an
-  * orderBy(...).limit(k) — Spark plans TakeOrderedAndProject, a
-  * per-partition heap, never a global sort.
+  * Plan shape at 100 TB: ONE explode+hash-agg pass over the corpus
+  * computes doc length AND the per-query-term tf together (conditional
+  * sums — the query terms are a static list, so tf pivots into k agg
+  * columns and unpivots back with `stack`). Deriving dl and tf as two
+  * separate aggregates of the token stream (the round-3 first cut)
+  * scanned and exploded the corpus twice — and a third time for the
+  * scalar params — because the join's pushed-down isnotnull filters
+  * break exchange-reuse canonicalization across branches (verified on
+  * the executed AQE plan). The one-row-per-doc aggregate is persisted
+  * (narrow: id + k+1 longs), so the params scalar and the stacked tf
+  * rows both read the cache, never the corpus. df and (N, sum_dl)
+  * broadcast. The final top-k is an orderBy(...).limit(k) — Spark
+  * plans TakeOrderedAndProject, a per-partition heap, never a global
+  * sort.
   *
   * Determinism across engines: every input to the formula (tf, df, dl,
   * N, sum_dl) is an exact integer; the double formula is written with
@@ -44,12 +51,24 @@ object Bm25 {
   def scores(docs: DataFrame, idCol: String, textCol: String,
              terms: Seq[String], k1: Double = 1.2,
              b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("\\w+")),
+      "query terms must be non-empty word tokens")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val params = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // ONE corpus pass: doc length + per-term tf as conditional sums.
+    // Persisted (1 narrow row per doc) so every downstream branch reads
+    // the cache instead of re-exploding the corpus.
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      .persist()
+    val params = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = perDoc.selectExpr("doc_id", "dl",
+      s"stack(${terms.size}, " +
+        terms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (tok, tf)")
+      .filter(col("tf") > 0)
     val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
@@ -61,7 +80,6 @@ object Bm25 {
     val s = idf * (col("tf").cast("double") * (lit(k1) + lit(1.0))) / denom
 
     tf.join(broadcast(dft), Seq("tok"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(params))
       .withColumn("s_scaled", round(s * lit(1000000.0)).cast("long"))
       .groupBy("doc_id")

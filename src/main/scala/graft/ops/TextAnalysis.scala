@@ -113,13 +113,17 @@ object TextAnalysis {
     * Wenzek et al. 2020).
     *
     * Plan shape at 100 TB: bigrams come from one narrow
-    * split+transform+explode projection (codegen), then ONE hash
-    * aggregate on (w1, w2) with map-side partial combine — the only
-    * corpus-size shuffle. The prefix counts c(w1 ·) are re-aggregated
-    * from the (much smaller) bigram-count frame, never from a second
-    * corpus scan, and the prefix join keys on w1 where both sides are
-    * already aggregates. Global top-k is orderBy(...).limit(k) —
-    * TakeOrderedAndProject, never a global sort.
+    * split+zip+explode projection (codegen), then ONE hash aggregate on
+    * (w1, w2) with map-side partial combine — the only corpus-size
+    * shuffle. The prefix counts c(w1 ·) attach as a window sum
+    * partitioned by w1 over the bigram-count frame — one shuffle of the
+    * (much smaller) count frame and NO second consumer of it: joining
+    * the frame against its own re-aggregate re-executes the whole
+    * corpus pass, because the join's pushed-down isnotnull filters
+    * break exchange-reuse canonicalization between the branches
+    * (verified on the executed AQE plan). Global top-k is
+    * orderBy(...).limit(k) — TakeOrderedAndProject, never a global
+    * sort.
     *
     * Determinism: counts are exact longs; p is one double division
     * quantized to a scaled long (same IEEE op in the SQL oracle).
@@ -142,17 +146,15 @@ object TextAnalysis {
   private def bigramCounts(df: DataFrame, textCol: String): DataFrame =
     bigramPairs(df, textCol).groupBy("w1", "w2").agg(count(lit(1)).as("n"))
 
-  def bigramLm(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
-    val c2 = bigramCounts(df, textCol)
-    val c1 = c2.groupBy("w1").agg(sum(col("n")).as("n1"))
-    c2.join(c1, Seq("w1"))
+  def bigramLm(df: DataFrame, textCol: String, topK: Int = 20): DataFrame =
+    bigramCounts(df, textCol)
+      .withColumn("n1", sum(col("n")).over(Window.partitionBy(col("w1"))))
       .withColumn("p_scaled",
         round(col("n").cast("double") / col("n1").cast("double") * lit(1e6))
           .cast("long"))
       .select("w1", "w2", "n", "p_scaled")
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
-  }
 
   /** PMI collocation mining: pointwise mutual information
     * ln(N·c(w1,w2) / (c(w1,·)·c(·,w2))) over corpus bigrams with a
@@ -161,22 +163,24 @@ object TextAnalysis {
     * Hanks 1990).
     *
     * Plan shape at 100 TB: everything derives from the ONE (w1,w2)
-    * bigram aggregate — left/right marginals and the grand total are
-    * re-aggregations of that (much smaller) count frame, never second
-    * corpus scans; the scalar total joins in as a broadcast. Top-k is
-    * TakeOrderedAndProject.
+    * bigram aggregate, which is PERSISTED — it has two consumers (the
+    * scoring chain and the grand-total scalar), and without
+    * materialization each consumer re-executes the corpus pass (the
+    * isnotnull-pushdown canonicalization break, see [[bigramLm]]).
+    * Left/right marginals attach as window sums over the cached count
+    * frame (two count-frame shuffles, no joins); the scalar total
+    * broadcasts. Top-k is TakeOrderedAndProject.
     *
     * Determinism: all PMI inputs are exact longs; one ln + quantize per
     * surviving pair, mirrored in the SQL oracle; ties broken (w1, w2).
     */
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5,
                       topK: Int = 30): DataFrame = {
-    val c2 = bigramCounts(df, textCol)
-    val cl = c2.groupBy("w1").agg(sum(col("n")).as("n1"))
-    val cr = c2.groupBy("w2").agg(sum(col("n")).as("n2"))
+    val c2 = bigramCounts(df, textCol).persist()
     val tot = c2.agg(sum(col("n")).as("t_bigrams"))
-    c2.filter(col("n") >= minCount)
-      .join(cl, Seq("w1")).join(cr, Seq("w2"))
+    c2.withColumn("n1", sum(col("n")).over(Window.partitionBy(col("w1"))))
+      .withColumn("n2", sum(col("n")).over(Window.partitionBy(col("w2"))))
+      .filter(col("n") >= minCount)
       .crossJoin(broadcast(tot))
       .withColumn("pmi_scaled",
         round(log(col("n").cast("double") * col("t_bigrams").cast("double") /
@@ -193,9 +197,14 @@ object TextAnalysis {
     * public formula), score = tf · idf.
     *
     * Plan shape at 100 TB: one corpus shuffle to (doc, word) term
-    * counts; document frequency and the doc count are re-aggregations
-    * of that frame (no second scan); the scalar N broadcasts. The
-    * row_number window partitions BY DOC — thousands of small
+    * counts. Document frequency attaches as a count window partitioned
+    * by word over that frame — NOT a join against its own re-aggregate,
+    * which would re-execute the corpus pass (isnotnull-pushdown
+    * canonicalization break, see [[bigramLm]]) and the tf frame is too
+    * large to persist (≈ one row per distinct (doc, word) — corpus
+    * order). N comes from a separate count of the SOURCE frame — a
+    * no-column row-count scan (parquet footers), not a second tokenize.
+    * The row_number window partitions BY DOC — millions of small
     * independent heaps, never a single-partition window.
     *
     * Determinism: tf/df/N are exact longs; one ln + quantize per term;
@@ -208,9 +217,8 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
-    tf.join(dfreq, Seq("word"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score_scaled",
         round(col("tf").cast("double") *
@@ -258,8 +266,12 @@ object TextAnalysis {
     *
     * Plan shape at 100 TB: ONE corpus shuffle producing per-word counts
     * for both slices simultaneously (conditional sums in a single hash
-    * aggregate — never two scans); totals and vocabulary size broadcast
-    * as a one-row frame; the result is a single global sum.
+    * aggregate — never two scans); the count frame is PERSISTED (vocab-
+    * sized) because the totals scalar and the term sum both consume it
+    * (unmaterialized, each branch re-executes the corpus pass — the
+    * isnotnull-pushdown canonicalization break, see [[bigramLm]]);
+    * totals broadcast as a one-row frame; the result is a single global
+    * sum.
     *
     * Determinism: per-word contributions p·ln(p/q) are quantized to
     * scaled longs before the final sum (order-independent integer
@@ -272,6 +284,7 @@ object TextAnalysis {
       .groupBy("word")
       .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
            sum(when(!col("is_p"), 1L).otherwise(0L)).as("cq"))
+      .persist()
     val totals = counts.agg(sum(col("cp")).as("tp"), sum(col("cq")).as("tq"),
       count(lit(1)).as("v"))
     val p = (col("cp") + lit(1L)).cast("double") /

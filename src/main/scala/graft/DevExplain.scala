@@ -25,6 +25,61 @@ object DevExplain {
         spark.stop()
         return
       }
+    // audit: execute EVERY query and report how many times each parquet
+    // file is ACTUALLY scanned in the final adaptive plan. A tree walk,
+    // not a string grep: the printed plan embeds provenance FileScans
+    // inside InMemoryRelation/Initial-Plan sections that never execute.
+    // Recurses into query stages; stops at InMemoryTableScan (reading
+    // cache, counted separately) and ReusedExchange (counted, no
+    // re-scan). >1 live scan of the same file means a multi-branch
+    // subtree failed exchange reuse (the isnotnull-pushdown
+    // canonicalization break) and re-executes upstream work — the
+    // round-2 7x pathology in query form.
+    if (args.exists(_.startsWith("audit"))) {
+      val subset = args.collectFirst {
+        case s if s.startsWith("audit=") =>
+          s.substring(6).split(",").map(_.trim).toSet
+      }
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      // dedup by object identity: AQE stage reuse shares the SAME
+      // QueryStageExec instance at multiple tree positions — it
+      // executes once, so it must be counted once.
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      def walk(p: SparkPlan): (Seq[String], Int, Int) = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec =>
+          if (seen.add(q)) walk(q.plan) else (Nil, 0, 1)
+        case f: FileSourceScanExec =>
+          val cols = f.requiredSchema.fieldNames.length
+          (Seq(f.relation.location.rootPaths.map(_.getName).mkString(",") +
+            (if (cols == 0) "(rowcount)" else "")), 0, 0)
+        case _: InMemoryTableScanExec => (Nil, 1, 0)
+        case _: ReusedExchangeExec => (Nil, 0, 1)
+        case other =>
+          val parts = (other.children ++ other.subqueries).map(walk)
+          (parts.flatMap(_._1), parts.map(_._2).sum, parts.map(_._3).sum)
+      }
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(q => subset.forall(_.contains(q))).foreach { q =>
+        try {
+          val df = SparkEntry.queries(q)(spark, dir)
+          df.collect()
+          val (scans, mem, reused) = walk(df.queryExecution.executedPlan)
+          val byFile = scans.groupBy(identity).view.mapValues(_.size).toMap
+            .toSeq.sortBy(-_._2).map { case (p, n) => s"${p}x$n" }
+          println(s"[audit] $q scans=${byFile.mkString(",")} " +
+            s"cachereads=$mem reused=$reused")
+        } catch {
+          case e: Throwable => println(s"[audit] $q ERROR ${e.getMessage}")
+        }
+      }
+      spark.stop()
+      return
+    }
     Seq("q1_agg", "q3_join_agg", "q8_pagination", "t6_ngram_neardup",
       "e1_ann_topk", "kg_sections", "t10_dedup_canon",
       "kg_media_resized", "kg_media_frames",

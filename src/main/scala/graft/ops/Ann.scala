@@ -71,16 +71,23 @@ object Ann {
     * cap are dropped. Sub-cap buckets pair EXACTLY as an uncapped join
     * (refinement key pinned to -1 on both sides), so small-scale output
     * is unchanged. Pair volume is bounded by cap^2 per surviving bucket.
+    *
+    * Shape: both cap counts attach as WINDOW counts, not joins against
+    * re-aggregates of `b` — the join form re-executed the banding scan
+    * once per branch (isnotnull-pushdown breaks exchange-reuse
+    * canonicalization; see TextAnalysis.bigramLm), measured 4 corpus
+    * scans for e2. The windows shuffle by the same keys those joins
+    * did (identical skew exposure, which the cap itself bounds), and
+    * the final self-join sides are identical subtrees partitioned by
+    * (bucket, bkey), so one exchange serves both.
     */
   private def cappedBucketPairs(b: DataFrame, cap: Int): DataFrame = {
-    val n1 = b.groupBy("bucket").agg(count(lit(1)).as("n1"))
-    val keyed = b.join(n1, Seq("bucket"))
+    val capped = b
+      .withColumn("n1", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .withColumn("bkey", when(col("n1") > cap, col("bucket2")).otherwise(lit(-1)))
-    val surviving = keyed.groupBy("bucket", "bkey")
-      .agg(count(lit(1)).as("n2"))
+      .withColumn("n2",
+        count(lit(1)).over(Window.partitionBy(col("bucket"), col("bkey"))))
       .filter(col("n2") <= cap)
-      .select("bucket", "bkey")
-    val capped = keyed.join(surviving, Seq("bucket", "bkey"))
     val l = capped.select(col("bucket"), col("bkey"),
       col("id").as("query_id"), col("vec").as("qv"))
     val r = capped.select(col("bucket"), col("bkey"),
@@ -136,8 +143,12 @@ object Ann {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 64, nprobe: Int = 4): DataFrame = {
+    // cents and q are tiny but each has TWO consumers (assignment +
+    // probe passes; probe + candidate hydrate) — persisted so neither
+    // branch re-runs its derivation scan over the corpus.
     val cents = corpus.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cid"), col("vec").as("cv"))
+      .persist()
     // nearest centroid per corpus vector; tie-break (cos desc, cid asc)
     // via argmax over struct(cos, -cid)
     val assign = corpus.select(col("id"), col("vec"))
@@ -149,6 +160,7 @@ object Ann {
       .select(col("a.cid").as("cid"), col("id").as("neighbor_id"),
         col("a.vec").as("nv"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .persist()
     val probes = TopK.topKPerKey(
         q.crossJoin(broadcast(cents))
           .withColumn("cos", Similarity.cosineCol(col("qv"), col("cv"))),

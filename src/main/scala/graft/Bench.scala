@@ -335,7 +335,17 @@ object Bench {
             """loadavg_at_levels above; BENCH.md host pathology section)""""
         else s""","scaling_efficiency":${eff(a, b)},""" +
           """"scaling_provenance":"this_run""""
-      }.getOrElse("")
+      }.getOrElse(
+        // SOME level completed but no (N, 4N) pair did — wall-budget or
+        // mid-ladder abort. Without this branch the artifact carried no
+        // scaling number at all (2026-08-19 run: executors4 only,
+        // scaling_pairs:{}), which reads as missing evidence; fall back
+        // to the recorded quiet-window pair exactly like the
+        // degraded-ladder and no-level paths.
+        s""","scaling_efficiency":$QuietEff,$QuietEvidence,""" +
+          """"scaling_provenance":"prior quiet-window pair — this run """ +
+          """completed fewer than two ladder levels (wall budget or """ +
+          """abort; see aborted/ladder_aborted markers)"""")
       val pairDesc = primary.map { case (a, b) =>
         if (mode == "threads") s"local[$a] -> local[$b] threads"
         else s"$a -> $b standalone executor JVMs x $execCores cores, " +

@@ -482,6 +482,16 @@ object SparkEntry {
           (count(lit(1)) * lit(1000000.0))).as("mean_v"))
     }),
 
+    // ---- k-means refinement step (IVF training kernel) ------------------
+    // One Lloyd iteration from the deterministic seed centroids:
+    // broadcast-argmax assignment + quantized element-wise mean
+    // (composes the proven e4 assignment and e3 mean patterns).
+    "e5_kmeans_step" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.cluster.KMeans.step(emb, graft.cluster.KMeans.seed(emb, 16))
+    }),
+
     // ---- as-of join (point-in-time feature attribution) ----------------
     // Each purchase joined to the user's most recent prior click — the
     // single-sweep encoding (graft.ops.AsOf): one shuffle on the key, no
@@ -1885,6 +1895,22 @@ object SparkEntry {
                       unnest(generate_series(0, len(embedding) - 1)) AS dim
                FROM embeddings)
          GROUP BY label, dim""",
+    "e5_kmeans_step" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings ORDER BY vec_id LIMIT 16),
+         a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                             c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN c),
+         assign AS (SELECT cid, embedding FROM a0 WHERE rn = 1)
+         SELECT cid, dim, count(*) AS n,
+                CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                     AS DOUBLE) / (count(*) * 1000000.0) AS c_v
+         FROM (SELECT cid, unnest(embedding) AS v,
+                      unnest(generate_series(0, len(embedding) - 1)) AS dim
+               FROM assign)
+         GROUP BY cid, dim""",
     "q16_asof" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
                     FROM events WHERE event_type = 'purchase'),

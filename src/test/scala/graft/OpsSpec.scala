@@ -327,6 +327,21 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 4L, 2 * half), (2L, 1L, 0L)))
   }
 
+  test("kmeans step: argmax assignment, quantized element-wise mean") {
+    // seeds = 2 smallest ids (axis vectors); id 2 joins cluster 0 and
+    // id 3 cluster 1 by cosine. Quantization (round(v*1e6) longs) makes
+    // the means exact: (1.0+0.9)/2 = 0.95 despite 0.9f != 0.9 as double.
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f))).toDF("id", "vec")
+    val out = graft.cluster.KMeans.step(emb, graft.cluster.KMeans.seed(emb, 2))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (0L, 0, 2L, 0.95), (0L, 1, 2L, 0.05),
+      (1L, 0, 2L, 0.05), (1L, 1, 2L, 0.95)))
+  }
+
   test("kl divergence: one conditional aggregate, add-one smoothing") {
     // P = even ids {a a b}, Q = odd ids {a c}; joint vocab {a,b,c}, v=3,
     // tp=3, tq=2. Per-word terms quantized then summed exactly.

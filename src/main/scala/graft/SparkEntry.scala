@@ -482,6 +482,28 @@ object SparkEntry {
           (count(lit(1)) * lit(1000000.0))).as("mean_v"))
     }),
 
+    // ---- common-path mining (ordered sequence extraction) ---------------
+    // Top entry paths: each user's first 3 event types IN TIME ORDER
+    // (array_sort on the unique rank, then join — order-preserving,
+    // unlike q37's sorted-set collect). One user_id shuffle for the
+    // window; the rank filter cuts to <=3 rows/user BEFORE the path
+    // aggregate, which groups on the same key (exchange reuse); path
+    // counts are tiny; top-10 is TakeOrderedAndProject.
+    "q50_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path").asc)
+        .limit(10)
+    }),
+
     // ---- k-means refinement step (IVF training kernel) ------------------
     // One Lloyd iteration from the deterministic seed centroids:
     // broadcast-argmax assignment + quantized element-wise mean
@@ -1895,6 +1917,15 @@ object SparkEntry {
                       unnest(generate_series(0, len(embedding) - 1)) AS dim
                FROM embeddings)
          GROUP BY label, dim""",
+    "q50_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS rn
+                    FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p
+         GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 10""",
     "e5_kmeans_step" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv
                     FROM embeddings ORDER BY vec_id LIMIT 16),

@@ -40,39 +40,16 @@ object DevExplain {
         case s if s.startsWith("audit=") =>
           s.substring(6).split(",").map(_.trim).toSet
       }
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-      // dedup by object identity: AQE stage reuse shares the SAME
-      // QueryStageExec instance at multiple tree positions — it
-      // executes once, so it must be counted once.
-      val seen = java.util.Collections.newSetFromMap(
-        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
-      def walk(p: SparkPlan): (Seq[String], Int, Int) = p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec =>
-          if (seen.add(q)) walk(q.plan) else (Nil, 0, 1)
-        case f: FileSourceScanExec =>
-          val cols = f.requiredSchema.fieldNames.length
-          (Seq(f.relation.location.rootPaths.map(_.getName).mkString(",") +
-            (if (cols == 0) "(rowcount)" else "")), 0, 0)
-        case _: InMemoryTableScanExec => (Nil, 1, 0)
-        case _: ReusedExchangeExec => (Nil, 0, 1)
-        case other =>
-          val parts = (other.children ++ other.subqueries).map(walk)
-          (parts.flatMap(_._1), parts.map(_._2).sum, parts.map(_._3).sum)
-      }
       SparkEntry.queries.keys.toSeq.sorted
         .filter(q => subset.forall(_.contains(q))).foreach { q =>
         try {
           val df = SparkEntry.queries(q)(spark, dir)
           df.collect()
-          val (scans, mem, reused) = walk(df.queryExecution.executedPlan)
-          val byFile = scans.groupBy(identity).view.mapValues(_.size).toMap
+          val a = PlanAudit.audit(df.queryExecution.executedPlan)
+          val byFile = a.scans.groupBy(identity).view.mapValues(_.size).toMap
             .toSeq.sortBy(-_._2).map { case (p, n) => s"${p}x$n" }
           println(s"[audit] $q scans=${byFile.mkString(",")} " +
-            s"cachereads=$mem reused=$reused")
+            s"cachereads=${a.cacheReads} reused=${a.reused}")
         } catch {
           case e: Throwable => println(s"[audit] $q ERROR ${e.getMessage}")
         }

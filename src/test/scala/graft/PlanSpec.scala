@@ -42,6 +42,28 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("executed plans: no query re-scans an input file (live-scan gate)") {
+    // Regression gate on the audited shapes: a frame joined against its
+    // own re-aggregate silently re-executes the corpus pass (isnotnull-
+    // pushdown breaks exchange-reuse canonicalization — see
+    // PlanAudit/TextAnalysis.bigramLm). Bounds are the algorithm's
+    // inherent scan count: 1 for single-pass ops, 2 where a second
+    // pruned/footer scan is inherent (tfidf rowcount, rrf query row).
+    val gates = Seq(
+      "t25_bigram_lm" -> 1, "t26_pmi" -> 1, "t27_tfidf" -> 2,
+      "t29_kl" -> 1, "q49_markov" -> 1, "q41_bm25" -> 1,
+      "e2_ann_lsh" -> 1, "q26_funnel" -> 1, "q50_paths" -> 1,
+      "t24_rrf" -> 2)
+    gates.foreach { case (q, maxPerFile) =>
+      val df = SparkEntry.queries(q)(spark, sfUnit)
+      df.collect()
+      val scans = PlanAudit.liveScans(df.queryExecution.executedPlan)
+      assert(scans.values.forall(_ <= maxPerFile),
+        s"$q live scans $scans exceed $maxPerFile per file")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("rrf cuts each ranker with a heap before the rank window") {
     // Both per-list cuts must plan TakeOrderedAndProject (per-partition
     // heap); the unpartitioned row_number window then sees only the

@@ -74,7 +74,8 @@ object DevExplain {
       "q46_fill_forward", "q47_full_outer", "t21_regex_mine",
       "t22_para_dedup", "t23_redact", "q48_sliding_dau",
       "t24_rrf", "t25_bigram_lm", "t26_pmi", "t27_tfidf",
-      "t28_entropy", "t29_kl", "q49_markov").foreach { q =>
+      "t28_entropy", "t29_kl", "q49_markov", "q50_paths",
+      "e5_kmeans_step", "q51_rfm", "q52_benford").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

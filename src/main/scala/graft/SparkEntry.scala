@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -480,6 +480,55 @@ object SparkEntry {
         .groupBy(col("label"), col("dim"))
         .agg((sum(col("vq")).cast("double") /
           (count(lit(1)) * lit(1000000.0))).as("mean_v"))
+    }),
+
+    // ---- RFM segmentation (value-based quartile bucketing) ---------------
+    // Classic customer segmentation: recency/frequency/monetary quartile
+    // buckets. Scale shape: ONE orders shuffle to the per-customer
+    // aggregate (persisted — the boundary scalars and the bucketing both
+    // consume it); quartile BOUNDARIES are three scalars per metric
+    // (exact percentile, proven to match DuckDB quantile_cont in q21)
+    // broadcast into codegen comparisons — never an ntile window over
+    // the customer frame (single-partition at 10^9 customers). Monetary
+    // sums exact CENTS longs (order-independent across engines).
+    "q51_rfm" -> ((s, dir) => {
+      val byCust = orders(s, dir).groupBy(col("o_custkey"))
+        // parquet timestamps are NTZ; session TZ is pinned UTC, so the
+        // cast is instant-preserving and matches DuckDB epoch_us
+        .agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .persist()
+      val bounds = byCust.agg(
+        expr("percentile(last_us, array(0.25, 0.5, 0.75))").as("qr"),
+        expr("percentile(freq, array(0.25, 0.5, 0.75))").as("qf"),
+        expr("percentile(cents, array(0.25, 0.5, 0.75))").as("qm"))
+      def bucket(v: Column, qs: Column): Column =
+        lit(1) + (v > element_at(qs, 1)).cast("int") +
+          (v > element_at(qs, 2)).cast("int") +
+          (v > element_at(qs, 3)).cast("int")
+      byCust.crossJoin(broadcast(bounds))
+        .withColumn("r", bucket(col("last_us"), col("qr")))
+        .withColumn("f", bucket(col("freq"), col("qf")))
+        .withColumn("m", bucket(col("cents"), col("qm")))
+        .groupBy("r", "f", "m").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ---- Benford first-digit audit ---------------------------------------
+    // Data-quality / fraud screen: distribution of the first significant
+    // digit of order totals. The digit comes from the DECIMAL STRING of
+    // exact cents (identical across engines), never from log10 on a
+    // double (ulp-sensitive at powers of ten). One tiny aggregate; the
+    // share window runs over the 9-row digit frame.
+    "q52_benford" -> ((s, dir) => {
+      orders(s, dir)
+        .withColumn("d",
+          substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm",
+          round(col("n") * lit(1e6) /
+            sum(col("n")).over(Window.partitionBy())).cast("long"))
     }),
 
     // ---- common-path mining (ordered sequence extraction) ---------------
@@ -1917,6 +1966,37 @@ object SparkEntry {
                       unnest(generate_series(0, len(embedding) - 1)) AS dim
                FROM embeddings)
          GROUP BY label, dim""",
+    "q51_rfm" ->
+      """WITH bc AS (SELECT o_custkey,
+                            max(epoch_us(o_orderdate)) AS last_us,
+                            count(*) AS freq,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                 AS BIGINT) AS cents
+                     FROM orders GROUP BY 1),
+         b AS (SELECT quantile_cont(last_us, [0.25, 0.5, 0.75]) AS qr,
+                      quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+                      quantile_cont(cents, [0.25, 0.5, 0.75]) AS qm
+               FROM bc)
+         SELECT r, f, m, count(*) AS n_customers FROM (
+           SELECT 1 + CAST(last_us > qr[1] AS INTEGER)
+                    + CAST(last_us > qr[2] AS INTEGER)
+                    + CAST(last_us > qr[3] AS INTEGER) AS r,
+                  1 + CAST(freq > qf[1] AS INTEGER)
+                    + CAST(freq > qf[2] AS INTEGER)
+                    + CAST(freq > qf[3] AS INTEGER) AS f,
+                  1 + CAST(cents > qm[1] AS INTEGER)
+                    + CAST(cents > qm[2] AS INTEGER)
+                    + CAST(cents > qm[3] AS INTEGER) AS m
+           FROM bc CROSS JOIN b)
+         GROUP BY 1, 2, 3""",
+    "q52_benford" ->
+      """WITH dd AS (SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS d
+                     FROM orders),
+         c AS (SELECT d, count(*) AS n FROM dd GROUP BY 1)
+         SELECT d, n, CAST(round(n * 1000000.0 / sum(n) OVER ()) AS BIGINT)
+                  AS share_ppm
+         FROM c""",
     "q50_paths" ->
       """WITH r AS (SELECT user_id, event_type,
                            row_number() OVER (PARTITION BY user_id

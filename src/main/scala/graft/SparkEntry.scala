@@ -1288,6 +1288,13 @@ object SparkEntry {
     "t29_kl" -> ((s, dir) =>
       graft.ops.TextAnalysis.klDivergence(documents(s, dir), "doc_id", "text")),
 
+    // ---- DSIR importance weights (target-vs-source LM ratio) ---------------
+    // Two-pass data-selection scoring: bigram LMs estimated from the
+    // even/odd slices in ONE conditional aggregate, then every doc
+    // scored by its quantized log-likelihood-ratio sum.
+    "t30_dsir" -> ((s, dir) =>
+      graft.ops.TextAnalysis.dsirWeights(documents(s, dir), "doc_id", "text")),
+
     // ---- Markov transition matrix over event sequences ---------------------
     // Sequence mining: per-user next-event via lead() (ONE shuffle on
     // user_id, parallel windows), then a tiny (from,to) aggregate whose
@@ -2644,6 +2651,29 @@ object SparkEntry {
                 CAST(sum(CAST(round(p * ln(p / q) * 1000000000.0) AS BIGINT))
                      AS BIGINT) AS kl_scaled
          FROM terms""",
+    "t30_dsir" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                    FROM documents),
+         bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         c AS (SELECT w1, w2,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                 CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cs
+               FROM bi GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                        CAST(sum(cs) AS BIGINT) AS ts_, count(*) AS v
+                 FROM c),
+         terms AS (
+           SELECT bi.doc_id,
+                  CAST(round(ln(((CAST(ct AS DOUBLE) + 1.0)
+                                 / CAST(tt + v AS DOUBLE))
+                              / ((CAST(cs AS DOUBLE) + 1.0)
+                                 / CAST(ts_ + v AS DOUBLE))) * 1000000.0)
+                       AS BIGINT) AS term
+           FROM bi JOIN c USING (w1, w2) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(term) AS BIGINT) AS w_scaled
+         FROM terms GROUP BY 1""",
     "q49_markov" ->
       """WITH seq AS (
            SELECT event_type,

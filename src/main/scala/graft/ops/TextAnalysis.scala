@@ -133,12 +133,18 @@ object TextAnalysis {
     * which DESCENDS for size=1 (Spark auto-steps -1) and would emit
     * null-padded bigrams.
     */
-  private def bigramPairs(df: DataFrame, textCol: String): DataFrame =
-    df.select(split(lower(col(textCol)), "\\s+").as("t"))
+  private def docBigramPairs(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), "\\s+").as("t"))
       .withColumn("w1s", slice(col("t"), lit(1), size(col("t")) - 1))
       .withColumn("w2s", slice(col("t"), lit(2), size(col("t")) - 1))
-      .select(explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
-      .select(col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+      .select(col("doc_id"), explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col("doc_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+
+  private def bigramPairs(df: DataFrame, textCol: String): DataFrame =
+    docBigramPairs(df.withColumn("__doc", lit(0L)), "__doc", textCol)
+      .select("w1", "w2")
 
   /** Corpus bigram counts: ONE hash aggregate on (w1, w2) — the only
     * corpus-size shuffle shared by [[bigramLm]] and [[pmiCollocations]].
@@ -294,6 +300,45 @@ object TextAnalysis {
     counts.crossJoin(broadcast(totals))
       .withColumn("term_scaled", round(p * log(p / q) * lit(1e9)).cast("long"))
       .agg(max(col("v")).as("n_vocab"), sum(col("term_scaled")).as("kl_scaled"))
+  }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public technique): score every
+    * document by the log-likelihood ratio of its bigrams under a TARGET
+    * bigram LM vs a SOURCE one (here: even vs odd doc-id slices), both
+    * add-one smoothed over the joint bigram vocabulary. High w = reads
+    * like the target domain; used to resample pretraining data toward a
+    * target distribution.
+    *
+    * Plan shape at 100 TB: an honest TWO-PASS algorithm (estimate, then
+    * score) — pass 1 is one (w1,w2) hash aggregate with both slice
+    * counts as conditional sums (persisted: the totals scalar and the
+    * scoring join both consume it); pass 2 re-derives doc bigrams and
+    * hash-joins them to the count frame on (w1,w2) — a hot bigram is
+    * ONE row on the build side, so skew degrades toward broadcast
+    * behavior, and AQE skew-split covers the probe side.
+    *
+    * Determinism: per-occurrence log-ratio terms are quantized to
+    * scaled longs before the per-doc sum (order-independent integer
+    * arithmetic), mirrored exactly in the oracle.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docBigramPairs(df, idCol, textCol)
+    val c = bi.groupBy("w1", "w2").agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("cs"))
+      .persist()
+    val tot = c.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts_"),
+      count(lit(1)).as("v"))
+    val pt = (col("ct") + lit(1L)).cast("double") /
+      (col("tt") + col("v")).cast("double")
+    val ps = (col("cs") + lit(1L)).cast("double") /
+      (col("ts_") + col("v")).cast("double")
+    bi.join(c, Seq("w1", "w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", round(log(pt / ps) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("w_scaled"))
   }
 
   /** Rolling polynomial fingerprint over tokens (64-bit, deterministic):

@@ -327,6 +327,19 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 4L, 2 * half), (2L, 1L, 0L)))
   }
 
+  test("dsir weights: log-ratio of slice bigram LMs, quantized terms") {
+    // target slice (even ids) = "a b a b": ct(ab)=2, ct(ba)=1; source
+    // (odd) = "a c": cs(ac)=1. tt=3, ts=1, v=3 (joint vocab ab,ba,ac).
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.dsirWeights(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def term(ct: Long, cs: Long): Long =
+      math.round(math.log(((ct + 1.0) / 6.0) / ((cs + 1.0) / 4.0)) * 1e6)
+    assert(out.toSeq == Seq(
+      (0L, 3L, 2 * term(2, 0) + term(1, 0)),
+      (1L, 1L, term(0, 1))))
+  }
+
   test("kmeans step: argmax assignment, quantized element-wise mean") {
     // seeds = 2 smallest ids (axis vectors); id 2 joins cluster 0 and
     // id 3 cluster 1 by cosine. Quantization (round(v*1e6) longs) makes

@@ -53,6 +53,11 @@ object DevExplain {
         } catch {
           case e: Throwable => println(s"[audit] $q ERROR ${e.getMessage}")
         }
+        // drop persisted frames between queries: an identical cached
+        // subtree from an earlier query (e.g. q41's Bm25 perDoc inside
+        // t24) would otherwise satisfy later scans from cache and hide
+        // the very re-scan regressions this audit exists to catch
+        finally spark.catalog.clearCache()
       }
       spark.stop()
       return
@@ -75,7 +80,7 @@ object DevExplain {
       "t22_para_dedup", "t23_redact", "q48_sliding_dau",
       "t24_rrf", "t25_bigram_lm", "t26_pmi", "t27_tfidf",
       "t28_entropy", "t29_kl", "q49_markov", "q50_paths",
-      "e5_kmeans_step", "q51_rfm", "q52_benford").foreach { q =>
+      "e5_kmeans_step", "q51_rfm", "q52_benford", "t30_dsir").foreach { q =>
       println(s"\n===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -32,7 +32,9 @@ object PlanAudit {
         if (seen.add(q)) walk(q.plan) else Audit(Nil, 0, 1)
       case f: FileSourceScanExec =>
         val cols = f.requiredSchema.fieldNames.length
-        Audit(Seq(f.relation.location.rootPaths.map(_.getName).mkString(",") +
+        // full path, not basename: two datasets whose directories share
+        // a final segment must not conflate into one scan count
+        Audit(Seq(f.relation.location.rootPaths.map(_.toUri.getPath).mkString(",") +
           (if (cols == 0) "(rowcount)" else "")), 0, 0)
       case _: InMemoryTableScanExec => Audit(Nil, 1, 0)
       case _: ReusedExchangeExec => Audit(Nil, 0, 1)

@@ -34,19 +34,28 @@ object KMeans {
     emb.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("vec").as("cv"))
 
+  /** Nearest-centroid assignment — THE shared kernel between k-means
+    * refinement and IVF index construction (graft.ops.Ann.ivfTopK):
+    * broadcast centroids, map-side-combining argmax per vector, ties on
+    * (cos desc, cid asc) — one copy so the tie-break / cosine contract
+    * cannot silently diverge between the index and its training step.
+    * emb: (id, vec); cents: (cid, cv). Output: (id, cid, vec).
+    */
+  def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", Similarity.cosineCol(col("vec"), col("cv")))
+      .groupBy("id")
+      .agg(max_by(struct(col("cid"), col("vec")),
+        struct(col("cos"), (-col("cid")).cast("long"))).as("a"))
+      .select(col("id"), col("a.cid").as("cid"), col("a.vec").as("vec"))
+
   /** One assignment + recompute step. emb: (id, vec array<float>);
     * cents: (cid, cv array<float>). Output: (cid, dim, n, c_v) — the
     * refined centroid exploded per dimension (n = member count), the
     * cross-engine-comparable form for array-valued results.
     */
   def step(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("cos", Similarity.cosineCol(col("vec"), col("cv")))
-      .groupBy("id")
-      .agg(max_by(struct(col("cid"), col("vec")),
-        struct(col("cos"), (-col("cid")).cast("long"))).as("a"))
-      .select(col("a.cid").as("cid"), col("a.vec").as("vec"))
-    assign
+    assign(emb, cents)
       .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
       .withColumn("vq", round(col("v").cast("double") * 1000000).cast("long"))
       .groupBy("cid", "dim")

@@ -145,20 +145,13 @@ object Ann {
               nlist: Int = 64, nprobe: Int = 4): DataFrame = {
     // cents and q are tiny but each has TWO consumers (assignment +
     // probe passes; probe + candidate hydrate) — persisted so neither
-    // branch re-runs its derivation scan over the corpus.
-    val cents = corpus.orderBy(col("id")).limit(nlist)
-      .select(col("id").as("cid"), col("vec").as("cv"))
-      .persist()
-    // nearest centroid per corpus vector; tie-break (cos desc, cid asc)
-    // via argmax over struct(cos, -cid)
-    val assign = corpus.select(col("id"), col("vec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos", Similarity.cosineCol(col("vec"), col("cv")))
-      .groupBy("id")
-      .agg(max_by(struct(col("cid"), col("vec")),
-        struct(col("cos"), (-col("cid")).cast("long"))).as("a"))
-      .select(col("a.cid").as("cid"), col("id").as("neighbor_id"),
-        col("a.vec").as("nv"))
+    // branch re-runs its derivation scan over the corpus. Seed and
+    // assignment are the SHARED k-means kernel (graft.cluster.KMeans),
+    // so the index uses exactly the contract its training step trains.
+    val cents = graft.cluster.KMeans.seed(corpus, nlist).persist()
+    val assign = graft.cluster.KMeans
+      .assign(corpus.select(col("id"), col("vec")), cents)
+      .select(col("cid"), col("id").as("neighbor_id"), col("vec").as("nv"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
       .persist()
     val probes = TopK.topKPerKey(

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * Plan shape at 100 TB: ONE explode+hash-agg pass over the corpus
   * computes doc length AND the per-query-term tf together (conditional
   * sums — the query terms are a static list, so tf pivots into k agg
-  * columns and unpivots back with `stack`). Deriving dl and tf as two
+  * columns and unpivots back via explode-of-structs). Deriving dl and
+  * tf as two
   * separate aggregates of the token stream (the round-3 first cut)
   * scanned and exploded the corpus twice — and a third time for the
   * scalar params — because the join's pushed-down isnotnull filters
@@ -51,8 +52,12 @@ object Bm25 {
   def scores(docs: DataFrame, idCol: String, textCol: String,
              terms: Seq[String], k1: Double = 1.2,
              b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && terms.forall(_.matches("\\w+")),
-      "query terms must be non-empty word tokens")
+    require(terms.nonEmpty, "at least one query term")
+    // distinct: duplicate terms would double-count; index-named agg
+    // columns + an expression-built unpivot keep ARBITRARY term strings
+    // legal (punctuation, quotes, non-ASCII) — a stack() assembled from
+    // strings would both restrict content and collide on duplicates
+    val ts = terms.distinct
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
     // ONE corpus pass: doc length + per-term tf as conditional sums.
@@ -60,14 +65,16 @@ object Bm25 {
     // the cache instead of re-exploding the corpus.
     val perDoc = toks.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),
-      terms.map(t =>
-        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      ts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$i") }: _*)
       .persist()
     val params = perDoc.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    val tf = perDoc.selectExpr("doc_id", "dl",
-      s"stack(${terms.size}, " +
-        terms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (tok, tf)")
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+      explode(array(ts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("tok"), col(s"tf_$i").as("tf")) }: _*)).as("e"))
+      .select(col("doc_id"), col("dl"), col("e.tok").as("tok"),
+        col("e.tf").as("tf"))
       .filter(col("tf") > 0)
     val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
 

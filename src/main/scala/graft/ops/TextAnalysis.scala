@@ -217,12 +217,19 @@ object TextAnalysis {
     * the rank orders by the QUANTIZED score with (word) tie-break, so
     * both engines cut identical top-k sets.
     */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-                    k: Int = 3): DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"),
+  /** Per-document term counts (doc_id, word, tf) — the ONE corpus
+    * shuffle shared by [[tfidfTopTerms]] and [[tokenEntropy]]; a single
+    * definition so a tokenization change cannot drift the two apart.
+    */
+  private def docTermCounts(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tf = docTermCounts(df, idCol, textCol)
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
       .crossJoin(broadcast(nDocs))
@@ -253,10 +260,7 @@ object TextAnalysis {
     * in engine-dependent order would drift in the last bits).
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = docTermCounts(df, idCol, textCol)
     val p = col("tf").cast("double") / col("dl").cast("double")
     tf.withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .withColumn("term_scaled", round(-p * log(p) * lit(1e9)).cast("long"))

@@ -579,5 +579,13 @@ class OpsSpec extends SparkTestBase {
     val multi = graft.ops.Bm25.topDocs(docs, "doc_id", "text", Seq("x", "y"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(multi("d1") === 2L && multi("d2") === 1L)
+    // duplicate terms collapse (not double-count) and arbitrary term
+    // content is legal — the string-built unpivot rejected both
+    val odd = Seq(("d1", "don't stop"), ("d2", "stop"))
+      .toDF("doc_id", "text")
+    val got2 = graft.ops.Bm25.topDocs(odd, "doc_id", "text",
+      Seq("don't", "don't"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got2.toSeq === Seq(("d1", 1L)))
   }
 }

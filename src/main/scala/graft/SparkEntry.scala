@@ -896,6 +896,12 @@ object SparkEntry {
     "q30_pagerank" -> ((s, dir) =>
       graft.ops.Graph.pageRank(coEdges(s, dir), iterations = 5)),
 
+    // ---- label-propagation community detection ---------------------------
+    // 2 synchronous rounds over the co-order graph; min-label tie-break
+    // makes the iteration deterministic and SQL-unrollable (no RNG).
+    "q53_labelprop" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(coEdges(s, dir), iterations = 2)),
+
     // ---- weekly cohort retention --------------------------------------
     // Integer-exact calendar math (epoch-microsecond div), per-user
     // distinct-activity collapse BEFORE the window so the windowed frame
@@ -2248,6 +2254,25 @@ object SparkEntry {
          GROUP BY 1"""),
     "q30_pagerank" -> (coEdgeCtes + pageRankIters(5) +
       "\n         SELECT vertex, pr AS pr_int FROM it5"),
+    "q53_labelprop" -> (coEdgeCtes +
+      """,
+         verts AS (SELECT DISTINCT src AS vertex FROM edges),
+         l0 AS (SELECT vertex, vertex AS label FROM verts),
+         n1 AS (SELECT e.dst AS vertex, l.label, count(*) AS cnt
+                FROM edges e JOIN l0 l ON l.vertex = e.src
+                GROUP BY 1, 2),
+         l1 AS (SELECT vertex, label FROM (
+                  SELECT vertex, label, row_number() OVER (PARTITION BY vertex
+                    ORDER BY cnt DESC, label ASC) AS rn
+                  FROM n1) WHERE rn = 1),
+         n2 AS (SELECT e.dst AS vertex, l.label, count(*) AS cnt
+                FROM edges e JOIN l1 l ON l.vertex = e.src
+                GROUP BY 1, 2),
+         l2 AS (SELECT vertex, label FROM (
+                  SELECT vertex, label, row_number() OVER (PARTITION BY vertex
+                    ORDER BY cnt DESC, label ASC) AS rn
+                  FROM n2) WHERE rn = 1)
+         SELECT vertex, label FROM l2"""),
     "q31_cohort" ->
       """WITH a AS (
            SELECT DISTINCT user_id,

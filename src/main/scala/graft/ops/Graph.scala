@@ -156,4 +156,42 @@ object Graph {
     }
     pr.select(col("vertex"), col("pr").as("pr_int"))
   }
+
+  /** Synchronous label propagation (community detection, Raghavan et al.
+    * 2007): every vertex starts labeled by itself; each round it adopts
+    * the most frequent label among its NEIGHBORS, ties broken by the
+    * smallest label — a total order, so the result is deterministic
+    * under any shuffle order and reproducible in unrolled SQL (no RNG,
+    * unlike the classic asynchronous variant). Fixed iteration count =
+    * the operator contract (callers pick k; convergence detection would
+    * make the oracle unreproducible).
+    *
+    * Scale shape: per iteration, one edge⋈labels equi-join + one
+    * (vertex, label) hash aggregate + one argmax window partitioned by
+    * vertex (group size = a vertex's distinct neighbor labels, bounded
+    * by degree); localCheckpoint per iteration per the iterative-
+    * algorithm invariant. Output: (vertex, label).
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var labels = e.select(col("src").as("vertex"))
+      .unionAll(e.select(col("dst").as("vertex")))
+      .distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val votes = e
+        .join(labels.select(col("vertex").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("vertex"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vertex"))
+            .orderBy(col("cnt").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vertex"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -327,6 +327,19 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 4L, 2 * half), (2L, 1L, 0L)))
   }
 
+  test("label propagation: neighbor-majority with min-label tie-break") {
+    // triangle {1,2,3} + pendant 3-4. Round 1 (labels = self): v1 ties
+    // {2,3} -> 2; v2 ties {1,3} -> 1; v3 ties {1,2,4} -> 1; v4 sees {3}.
+    // Round 2 collapses everything to community 1.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val edges = graft.ops.Graph.symmetrize(pairs)
+    def run(k: Int): Map[Long, Long] =
+      graft.ops.Graph.labelPropagation(edges, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    assert(run(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("dsir weights: log-ratio of slice bigram LMs, quantized terms") {
     // target slice (even ids) = "a b a b": ct(ab)=2, ct(ba)=1; source
     // (odd) = "a c": cs(ac)=1. tt=3, ts=1, v=3 (joint vocab ab,ba,ac).

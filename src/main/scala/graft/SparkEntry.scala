@@ -1301,6 +1301,12 @@ object SparkEntry {
     "t30_dsir" -> ((s, dir) =>
       graft.ops.TextAnalysis.dsirWeights(documents(s, dir), "doc_id", "text")),
 
+    // ---- perplexity quality filter (CCNet-style) ----------------------------
+    // Every doc scored by exp(mean NLL) under the corpus bigram LM with
+    // add-one smoothing — high ppl = boilerplate/gibberish candidate.
+    "t31_perplexity" -> ((s, dir) =>
+      graft.ops.TextAnalysis.perplexity(documents(s, dir), "doc_id", "text")),
+
     // ---- Markov transition matrix over event sequences ---------------------
     // Sequence mining: per-user next-event via lead() (ONE shuffle on
     // user_id, parallel windows), then a tiny (from,to) aggregate whose
@@ -2699,6 +2705,30 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_bigrams,
                 CAST(sum(term) AS BIGINT) AS w_scaled
          FROM terms GROUP BY 1""",
+    "t31_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                    FROM documents),
+         bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         c2 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+         v AS (SELECT count(DISTINCT w2) AS v FROM c2),
+         cw AS (SELECT w1, w2, n12,
+                       CAST(sum(n12) OVER (PARTITION BY w1) AS BIGINT) AS n1
+                FROM c2),
+         terms AS (
+           SELECT bi.doc_id,
+                  CAST(round(-ln((CAST(n12 AS DOUBLE) + 1.0)
+                                 / CAST(n1 + v AS DOUBLE)) * 1000000.0)
+                       AS BIGINT) AS nll
+           FROM bi JOIN cw USING (w1, w2) CROSS JOIN v),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                        CAST(sum(nll) AS BIGINT) AS nll_scaled
+                 FROM terms GROUP BY 1)
+         SELECT doc_id, n_bigrams, nll_scaled,
+                CAST(round(exp(CAST(nll_scaled AS DOUBLE)
+                               / (CAST(n_bigrams AS DOUBLE) * 1000000.0))
+                           * 1000000.0) AS BIGINT) AS ppl_scaled
+         FROM agg""",
     "q49_markov" ->
       """WITH seq AS (
            SELECT event_type,

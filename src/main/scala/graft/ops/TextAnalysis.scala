@@ -345,6 +345,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("w_scaled"))
   }
 
+  /** Per-document perplexity under the corpus's own bigram LM — THE
+    * classic quality filter (CCNet, Wenzek et al. 2020: documents with
+    * high perplexity under a reference LM are boilerplate/gibberish).
+    * Add-one smoothing: p(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V), V = number
+    * of distinct successor words; ppl = exp(mean NLL over the doc's
+    * bigram occurrences).
+    *
+    * Plan shape at 100 TB: same honest two-pass as [[dsirWeights]] —
+    * ONE (w1,w2) aggregate (persisted: the V scalar and the scoring
+    * join consume it; prefix totals attach as a w1 window sum, not a
+    * join); pass 2 hash-joins doc bigrams to the count frame.
+    *
+    * Determinism: per-occurrence NLL quantized to scaled longs before
+    * the per-doc sum; the final exp runs on one exactly-reproducible
+    * double (long/long division), quantized.
+    */
+  def perplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = docBigramPairs(df, idCol, textCol)
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12")).persist()
+    val v = c2.agg(countDistinct(col("w2")).as("v"))
+    val cw = c2.withColumn("n1",
+      sum(col("n12")).over(Window.partitionBy(col("w1"))))
+    val p = (col("n12") + lit(1L)).cast("double") /
+      (col("n1") + col("v")).cast("double")
+    bi.join(cw, Seq("w1", "w2"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll", round(-log(p) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_scaled"))
+      .withColumn("ppl_scaled",
+        round(exp(col("nll_scaled").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6))) * lit(1e6))
+          .cast("long"))
+  }
+
   /** Rolling polynomial fingerprint over tokens (64-bit, deterministic):
     * document-level content hash robust to whitespace layout.
     */

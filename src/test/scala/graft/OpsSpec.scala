@@ -327,6 +327,23 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 4L, 2 * half), (2L, 1L, 0L)))
   }
 
+  test("perplexity: add-one bigram LM, quantized NLL, exact mean") {
+    // corpus LM from both docs: c(ab)=2, c(ba)=1, c(ac)=1; V = |{a,b,c}|
+    // = 3 distinct successors; n1(a·)=3, n1(b·)=1.
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.perplexity(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    def nll(n12: Long, n1: Long): Long =
+      math.round(-math.log((n12 + 1.0) / (n1 + 3.0)) * 1e6)
+    def ppl(sum: Long, n: Long): Long =
+      math.round(math.exp(sum.toDouble / (n.toDouble * 1e6)) * 1e6)
+    val d0 = 2 * nll(2, 3) + nll(1, 1)
+    val d1 = nll(1, 3)
+    assert(out.toSeq == Seq(
+      (0L, 3L, d0, ppl(d0, 3)), (1L, 1L, d1, ppl(d1, 1))))
+  }
+
   test("label propagation: neighbor-majority with min-label tie-break") {
     // triangle {1,2,3} + pendant 3-4. Round 1 (labels = self): v1 ties
     // {2,3} -> 2; v2 ties {1,3} -> 1; v3 ties {1,2,4} -> 1; v4 sees {3}.

@@ -896,6 +896,34 @@ object SparkEntry {
     "q30_pagerank" -> ((s, dir) =>
       graft.ops.Graph.pageRank(coEdges(s, dir), iterations = 5)),
 
+    // ---- skyline / Pareto frontier (two-phase) -----------------------------
+    // Orders that are Pareto-optimal on (price low, date recent), over
+    // DISTINCT (price, date) points so the strict sorted-scan rule is
+    // exact. Two-phase at scale: hash-bucket-local skylines first (one
+    // window per bucket prunes everything locally dominated), then the
+    // global pass runs over the union of local skylines — a frame the
+    // size of the frontier, not the corpus, so the final unpartitioned
+    // window is safe. Exact: dominance is transitive, so every global
+    // skyline point survives its own bucket and kills all dominated
+    // survivors in phase 2. The oracle checks SEMANTICS independently
+    // of the algorithm (NOT EXISTS dominator).
+    "q54_skyline" -> ((s, dir) => {
+      val pts = orders(s, dir).select(
+        round(col("o_totalprice") * 100).cast("long").as("price_c"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"))
+        .distinct()
+      def sky(df: DataFrame, parts: Seq[Column]): DataFrame = {
+        val w = Window.partitionBy(parts: _*)
+          .orderBy(col("price_c").asc, col("date_us").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("best_prev", max(col("date_us")).over(w))
+          .filter(col("best_prev").isNull || col("date_us") > col("best_prev"))
+          .drop("best_prev")
+      }
+      sky(sky(pts, Seq(pmod(hash(col("price_c"), col("date_us")), lit(32)))),
+        Seq.empty)
+    }),
+
     // ---- label-propagation community detection ---------------------------
     // 2 synchronous rounds over the co-order graph; min-label tie-break
     // makes the iteration deterministic and SQL-unrollable (no RNG).
@@ -2260,6 +2288,16 @@ object SparkEntry {
          GROUP BY 1"""),
     "q30_pagerank" -> (coEdgeCtes + pageRankIters(5) +
       "\n         SELECT vertex, pr AS pr_int FROM it5"),
+    "q54_skyline" ->
+      """WITH pts AS (SELECT DISTINCT
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                        epoch_us(o_orderdate) AS date_us
+                      FROM orders)
+         SELECT price_c, date_us FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.price_c <= p.price_c AND q.date_us >= p.date_us
+             AND (q.price_c < p.price_c OR q.date_us > p.date_us))""",
     "q53_labelprop" -> (coEdgeCtes +
       """,
          verts AS (SELECT DISTINCT src AS vertex FROM edges),

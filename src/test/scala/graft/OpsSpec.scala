@@ -327,6 +327,19 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 4L, 2 * half), (2L, 1L, 0L)))
   }
 
+  test("skyline: two-phase result equals brute-force dominance filter") {
+    val out = SparkEntry.queries("q54_skyline")(spark, sfUnit)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = spark.read.parquet(s"$sfUnit/orders.parquet")
+      .selectExpr("CAST(round(o_totalprice * 100) AS LONG) AS p",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS d")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = pts.filter { case (p, d) =>
+      !pts.exists { case (p2, d2) =>
+        p2 <= p && d2 >= d && (p2 < p || d2 > d) } }.toSet
+    assert(out.nonEmpty && out == brute)
+  }
+
   test("perplexity: add-one bigram LM, quantized NLL, exact mean") {
     // corpus LM from both docs: c(ab)=2, c(ba)=1, c(ac)=1; V = |{a,b,c}|
     // = 3 distinct successors; n1(a·)=3, n1(b·)=1.

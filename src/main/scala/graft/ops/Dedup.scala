@@ -325,19 +325,27 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bb", explode(array(bandCols: _*)))
       .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
-    // dedup candidate ids across bands FIRST (cheap), then hydrate the
-    // two vectors for exact verification — avoids distinct over arrays
-    val cands = banded.select(col("band"), col("bucket"), col("id").as("a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("b")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    cands
-      .join(vecs.select(col("id").as("a"), col("vec").as("va")), Seq("a"))
-      .join(vecs.select(col("id").as("b"), col("vec").as("vb")), Seq("b"))
+    // carry the vectors THROUGH the self-join and dedup multi-band
+    // collisions with first() per (a, b) — the values are functions of
+    // the ids, so first() is deterministic, the grouping keys stay
+    // scalar (no distinct over float arrays), and the old two hydrate
+    // joins (each a full corpus re-scan + shuffle) disappear: one scan
+    // total, with the self-join sides sharing one exchange.
+    cands(banded)
       .withColumn("cos", Similarity.cosineCol(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }
+
+  /** Within-bucket candidate pairs of `banded` (id, vec, band, bucket),
+    * vectors carried through, deduped across bands.
+    */
+  private def cands(banded: DataFrame): DataFrame =
+    banded.select(col("band"), col("bucket"),
+        col("id").as("a"), col("vec").as("va"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("id").as("b"), col("vec").as("vb")), Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
 }

@@ -53,7 +53,8 @@ class PlanSpec extends SparkTestBase {
       "t25_bigram_lm" -> 1, "t26_pmi" -> 1, "t27_tfidf" -> 2,
       "t29_kl" -> 1, "q49_markov" -> 1, "q41_bm25" -> 1,
       "e2_ann_lsh" -> 1, "q26_funnel" -> 1, "q50_paths" -> 1,
-      "t24_rrf" -> 2, "t30_dsir" -> 2) // dsir: honest two-pass (estimate+score)
+      "t24_rrf" -> 2, "t30_dsir" -> 2, // dsir: honest two-pass (estimate+score)
+      "t9_embed_neardup" -> 2)         // banded self-join sides
     gates.foreach { case (q, maxPerFile) =>
       val df = SparkEntry.queries(q)(spark, sfUnit)
       df.collect()

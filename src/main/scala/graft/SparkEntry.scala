@@ -422,6 +422,14 @@ object SparkEntry {
       graft.ops.Dedup.simhashPairs(sh, 3)
     }),
 
+    // INCREMENTAL dedup: new batch (odd ids) vs existing index (even
+    // ids) — asymmetric bucket join, no old×old pair generation.
+    "t32_incr_dedup" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
+      graft.ops.Dedup.incrementalPairs(sh,
+        graft.ops.Dedup.minhashSignatures(sh), col("doc_id") % 2 === 0, 0.8)
+    }),
+
     // near-dup CANONICALIZATION: pairs chain, so keep/drop is decided per
     // connected component of the pair graph; canonical = min doc id.
     // Oracled end-to-end (DuckDB recursive-CTE transitive closure).
@@ -1882,6 +1890,20 @@ object SparkEntry {
          shared AS (
            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
            FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, shared * 1.0 / (sa.nsh + sb.nsh - shared) AS jaccard
+         FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8""",
+    "t32_incr_dedup" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t)-2)]) AS shingle
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         shared AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+           FROM sh x JOIN sh y USING (shingle)
+           WHERE x.doc_id % 2 <> 0 AND y.doc_id % 2 = 0
            GROUP BY 1, 2)
          SELECT a, b, shared * 1.0 / (sa.nsh + sb.nsh - shared) AS jaccard
          FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b

@@ -165,6 +165,35 @@ object Dedup {
   def minhashLshPairs(sh: DataFrame, threshold: Double): DataFrame =
     verifyJaccard(sh, lshCandidates(minhashSignatures(sh)), threshold)
 
+  /** INCREMENTAL near-dup: a NEW batch tested against an EXISTING index
+    * — the daily-crawl-vs-history shape a production dedup actually
+    * runs (the symmetric all-corpus join never re-runs; only new×old
+    * and new×new matter, and this is the new×old leg). Banding is
+    * identical to [[lshCandidates]] but the bucket join is asymmetric:
+    * new on one side, old on the other — no old×old pair generation at
+    * all, so daily cost is O(batch × collision rate), not O(corpus²).
+    * At scale the old side's banded buckets are a MATERIALIZED index
+    * (write once, reuse every day); exact-Jaccard verification follows.
+    * Output: (a = new doc, b = old doc, jaccard).
+    */
+  def incrementalPairs(sh: DataFrame, sigs: DataFrame, isOld: Column,
+                       threshold: Double): DataFrame = {
+    val r = MinHashK / LshBands
+    val banded = sigs
+      .withColumn("band", explode(sequence(lit(0), lit(LshBands - 1))))
+      .withColumn("bucket",
+        hash(col("band"), slice(col("sig"), col("band") * r + 1, lit(r))))
+      .withColumn("is_old", isOld)
+      .select(col("doc_id"), col("band"), col("bucket"), col("is_old"))
+    val cands = banded.filter(!col("is_old"))
+      .select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(banded.filter(col("is_old"))
+        .select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
+      .select("a", "b").distinct()
+    verifyJaccard(sh, cands, threshold)
+  }
+
   /** Candidate pairs under PREFIX FILTERING (the TokenJoin / PPJoin
     * family — PAPERS.md): order each doc's shingles rarest-first by
     * global document frequency; two sets with Jaccard >= t MUST share a

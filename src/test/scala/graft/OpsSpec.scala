@@ -327,6 +327,25 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 4L, 2 * half), (2L, 1L, 0L)))
   }
 
+  test("incremental dedup: new-vs-old leg only, matches exact jaccard") {
+    // docs 1,3 (new) near-dup docs 2,4 (old) respectively; 1~3 are ALSO
+    // near-dups of each other but new×new pairs must NOT appear; 5 is
+    // old and unique.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (3L, base + " x"), // new (odd)
+      (2L, base), (4L, base + " x"), // old (even)
+      (5L, "completely different content with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingles(docs, "doc_id", "text")
+    val out = graft.ops.Dedup.incrementalPairs(sh,
+      graft.ops.Dedup.minhashSignatures(sh), col("doc_id") % 2 === 0, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)) && out.contains((3L, 4L)))
+    assert(out.forall { case (a, b) => a % 2 == 1 && b % 2 == 0 })
+    assert(!out.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   test("skyline: two-phase result equals brute-force dominance filter") {
     val out = SparkEntry.queries("q54_skyline")(spark, sfUnit)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -831,6 +831,44 @@ object SparkEntry {
         "text", "doc_id", n = 5)
     }),
 
+    // ---- end-to-end curation report ---------------------------------------
+    // The pipeline's final keep/drop decision, composed from the proven
+    // component operators: quality flags (pure expressions), later-
+    // occurrence exact near-dup drop (prefix-filtered Jaccard — shingles
+    // cached once for the pair pass), and benchmark decontamination
+    // (broadcast probe n-grams). One report row per source with each
+    // drop-reason counted independently plus the surviving count —
+    // what a curation run actually publishes.
+    "t33_curation_report" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val probe = docs.filter(col("doc_id") % 5 === 0)
+      val toks = split(col("text"), " ")
+      val flags = corpus.select(col("doc_id"), col("source"),
+          size(toks).as("n_tokens"), size(array_distinct(toks)).as("n_distinct"))
+        .withColumn("bad_quality",
+          col("n_tokens") < 5 ||
+            (lit(1.0) - col("n_distinct").cast("double") /
+              col("n_tokens").cast("double")) > 0.6)
+      val sh = graft.ops.Dedup.shingles(corpus, "doc_id", "text").cache()
+      val dupLater = graft.ops.Dedup.prefixJaccardPairs(sh, 0.8)
+        .select(greatest(col("a"), col("b")).as("doc_id")).distinct()
+        .withColumn("dup_hit", lit(true))
+      val contam = graft.ops.Decontam.hits(corpus, probe, "text", "doc_id", n = 5)
+        .select(col("doc_id")).withColumn("contam_hit", lit(true))
+      flags.join(dupLater, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("dup_hit"), lit(false)))
+        .withColumn("is_contam", coalesce(col("contam_hit"), lit(false)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bad_quality"), 1L).otherwise(0L)).as("n_bad_quality"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("is_contam"), 1L).otherwise(0L)).as("n_contam"),
+          sum(when(!col("bad_quality") && !col("is_dup") && !col("is_contam"),
+            1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // ---- token-budget corpus mixing ------------------------------------
     // "2000 en tokens, 1000 zh, 500 of each other language": prefix of the
     // deterministic md5 order per stratum, running sum inside the budget.
@@ -2230,6 +2268,50 @@ object SparkEntry {
               corpus AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 5 <> 0)
          SELECT c.doc_id, count(*) AS n_contaminated_ngrams
          FROM corpus c JOIN probe p USING (ng)
+         GROUP BY 1""",
+    "t33_curation_report" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         q AS (SELECT doc_id, source,
+                      len(string_split(text, ' ')) AS n_tokens,
+                      len(list_distinct(string_split(text, ' '))) AS n_distinct
+               FROM corpus),
+         flags AS (SELECT doc_id, source,
+                     (n_tokens < 5 OR (1.0 - CAST(n_distinct AS DOUBLE)
+                        / CAST(n_tokens AS DOUBLE)) > 0.6) AS bad_quality
+                   FROM q),
+         sh AS (SELECT DISTINCT doc_id,
+                       unnest([array_to_string(t[i:i+2], ' ')
+                               for i in generate_series(1, len(t)-2)]) AS shingle
+                FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                      FROM corpus)),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         shared AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+                    FROM sh x JOIN sh y USING (shingle)
+                    WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         dup AS (SELECT DISTINCT greatest(a, b) AS doc_id
+                 FROM shared
+                 JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+                 WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS ng
+               FROM w, unnest(range(1, len(ws) - 3)) t(i)),
+         probe AS (SELECT DISTINCT ng FROM g WHERE doc_id % 5 = 0),
+         contam AS (SELECT DISTINCT doc_id
+                    FROM (SELECT DISTINCT doc_id, ng FROM g
+                          WHERE doc_id % 5 <> 0) c
+                    JOIN probe USING (ng))
+         SELECT f.source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN f.bad_quality THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bad_quality,
+                CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup,
+                CAST(sum(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contam,
+                CAST(sum(CASE WHEN NOT f.bad_quality AND d.doc_id IS NULL
+                               AND ct.doc_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+         FROM flags f
+         LEFT JOIN dup d USING (doc_id) LEFT JOIN contam ct USING (doc_id)
          GROUP BY 1""",
     "t18_token_budget" ->
       """SELECT lang, doc_id, n_tokens, cum_tokens FROM (

@@ -145,6 +145,7 @@ object Bench {
     "t1_exact_dedup", "t6_ngram_neardup", "t7_minhash_lsh", "t8_simhash",
     "t11_splits", "e1_ann_topk", "e2_ann_lsh", "e4_ann_ivf",
     "q29_path2", "q30_pagerank", "q34_bloom_join",
+    "t27_tfidf", "t30_dsir", "q54_skyline",
     "kg_spans", "kg_sections", "kg_triples")
 
   /** The KB-population job benched for scaling: docs (optionally

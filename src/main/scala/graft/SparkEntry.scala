@@ -417,6 +417,13 @@ object SparkEntry {
       graft.ops.Dedup.minhashLshPairs(sh, 0.8)
     }),
 
+    // Asymmetric near-dup: the smaller doc's rare-shingle set mostly
+    // inside the larger's (quote/subset duplication Jaccard misses).
+    "t35_containment" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
+      graft.ops.Dedup.containmentPairs(sh, 0.9)
+    }),
+
     "t8_simhash" -> ((s, dir) => {
       val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
       graft.ops.Dedup.simhashPairs(sh, 3)
@@ -969,6 +976,65 @@ object SparkEntry {
       sky(sky(pts, Seq(pmod(hash(col("price_c"), col("date_us")), lit(32)))),
         Seq.empty)
     }),
+
+    // ---- weighted sample (A-ES) -----------------------------------------
+    // k docs per language with probability ~ n_chars, WITHOUT
+    // replacement: top-k by the Efraimidis–Spirakis priority ln(u)/w
+    // (Sampling.weightedPriority; u from the row's own md5, so the
+    // sample is deterministic and engine-portable). Scale: the top-k is
+    // TopK's map-side combining aggregate — shuffle = langs x k rows,
+    // no global sort, no RNG state.
+    "t34_weighted_sample" -> ((s, dir) => {
+      val keyed = documents(s, dir).withColumn("pri",
+        graft.ops.Sampling.weightedPriority(
+          col("doc_id").cast("string"), col("n_chars")))
+      graft.ops.TopK.topKPerKey(keyed, Seq("lang"), "pri", "doc_id", 5)
+        .select(col("lang"), col("doc_id"), col("rnk").cast("long").as("rnk"))
+    }),
+
+    // ---- association rules over order baskets ---------------------------
+    // Market-basket co-occurrence: support / confidence / lift per part
+    // pair. Shape at scale: distinct (order, part) first (baskets are
+    // small, ~7 items, so the per-order self-join is linear-ish in
+    // lineitem), one hash-agg per pair, then per-item counts join back —
+    // the item-count side is |parts|-sized, broadcastable. All metrics
+    // are double divisions of exact integer products (bit-identical
+    // across engines; counts << 2^53).
+    "q55_assoc" -> ((s, dir) => {
+      // cache: the basket frame feeds three consumers (n_orders, item
+      // counts, pair self-join x2) — uncached, each re-scans lineitem
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().cache()
+      val nOrders = li.agg(countDistinct(col("ok")).as("n_orders"))
+      val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("icnt"))
+      val pairCnt = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 2)
+      pairCnt
+        .join(broadcast(itemCnt.withColumnRenamed("icnt", "cnt_a")),
+          col("part_a") === col("pk")).drop("pk")
+        .join(broadcast(itemCnt.withColumnRenamed("icnt", "cnt_b")),
+          col("part_b") === col("pk")).drop("pk")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("pair_cnt"),
+          (col("pair_cnt").cast("double") / col("n_orders")).as("support"),
+          (col("pair_cnt").cast("double") / col("cnt_a")).as("conf_ab"),
+          (col("pair_cnt").cast("double") / col("cnt_b")).as("conf_ba"),
+          ((col("pair_cnt") * col("n_orders")).cast("double") /
+            (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+    }),
+
+    // ---- exact ROC-AUC, rank-free ----------------------------------------
+    // Does `value` separate purchases from the rest? Mann–Whitney AUC
+    // with midrank ties, computed WITHOUT a global sort: per-distinct-
+    // score counts, then a two-level (bucket + within-bucket) prefix
+    // sum — see Eval.auc. Integer numerator; one final double division.
+    "q56_auc" -> ((s, dir) =>
+      graft.ops.Eval.auc(events(s, dir), col("value"),
+        col("event_type") === "purchase")),
 
     // ---- label-propagation community detection ---------------------------
     // 2 synchronous rounds over the co-order graph; min-label tie-break
@@ -2402,6 +2468,65 @@ object SparkEntry {
            SELECT 1 FROM pts q
            WHERE q.price_c <= p.price_c AND q.date_us >= p.date_us
              AND (q.price_c < p.price_c OR q.date_us > p.date_us))""",
+    "t34_weighted_sample" ->
+      """WITH k AS (
+           SELECT lang, doc_id,
+                  ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS pri
+           FROM documents)
+         SELECT lang, doc_id, rnk FROM (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY pri DESC, doc_id ASC) AS rnk
+           FROM k)
+         WHERE rnk <= 5""",
+    "t35_containment" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t)-2)]) AS shingle
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         shared AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, shared * 1.0 / least(sa.nsh, sb.nsh) AS containment
+         FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE shared * 1.0 / least(sa.nsh, sb.nsh) >= 0.9""",
+    "q56_auc" ->
+      """WITH g AS (
+           SELECT value AS s,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum_neg
+           FROM g)
+         SELECT CAST(sum(np * (2 * cum_neg + nn)) AS DOUBLE)
+                  / CAST(2 * sum(np) * sum(nn) AS DOUBLE) AS auc,
+                CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg
+         FROM c""",
+    "q55_assoc" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+         ic AS (SELECT pk, count(*) AS icnt FROM li GROUP BY pk),
+         pc AS (SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS pair_cnt
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT part_a, part_b, pair_cnt,
+                CAST(pair_cnt AS DOUBLE) / n_orders AS support,
+                CAST(pair_cnt AS DOUBLE) / a.icnt AS conf_ab,
+                CAST(pair_cnt AS DOUBLE) / b.icnt AS conf_ba,
+                CAST(pair_cnt * n_orders AS DOUBLE)
+                  / CAST(a.icnt * b.icnt AS DOUBLE) AS lift
+         FROM pc
+         JOIN ic a ON a.pk = pc.part_a
+         JOIN ic b ON b.pk = pc.part_b
+         CROSS JOIN n""",
     "q53_labelprop" -> (coEdgeCtes +
       """,
          verts AS (SELECT DISTINCT src AS vertex FROM edges),

@@ -74,6 +74,25 @@ object Sampling {
     * the surviving ~budget-sized slice; the window then sums millions of
     * rows, not billions.
     */
+  /** Weighted-sampling priority (Efraimidis–Spirakis "A-ES"): sampling k
+    * rows WITHOUT replacement with probability proportional to `weight`
+    * reduces to taking the top-k rows by `u^(1/w)` where u ~ U(0,1) —
+    * equivalently (monotone transform) by `ln(u)/w`, which avoids `pow`'s
+    * cross-engine rounding. u derives from the row's own md5 (same
+    * engine-portability contract as [[sampled]]): the first 8 hex chars
+    * as a 32-bit integer, +0.5 so u is never 0, over 2^32. Pair with
+    * `TopK.topKPerKey` for the scale path: the top-k is a map-side
+    * combining aggregate — no global sort, shuffle volume = keys x k —
+    * exactly the distributed weighted reservoir of Efraimidis & Spirakis
+    * (IPL 97(5), 2006) with deterministic, partitioning-independent
+    * output.
+    */
+  def weightedPriority(c: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(c), 1, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    log(u) / weight.cast("double")
+  }
+
   def tokenBudget(df: DataFrame, idCol: String, stratumCol: String,
                   tokensCol: Column, budgets: Seq[(String, Long)],
                   defaultBudget: Long): DataFrame = {

@@ -148,4 +148,58 @@ class AsOfSamplingSpec extends SparkTestBase {
       .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
     assert(byLang("en").map(_._2).toSet.subsetOf(bigger))
   }
+
+  test("weightedPriority: A-ES semantics — dominant weight always sampled first, " +
+       "partitioning-independent") {
+    val rows = (1L to 100L).map(i => (i, if (i == 7L) 1e12 else 1.0))
+    val df = rows.toDF("id", "w")
+      .withColumn("pri", Sampling.weightedPriority(col("id").cast("string"), col("w")))
+    // ln(u)/w with w = 1e12 is > ln(u')/1 for every representable u'
+    // (max u' = 1 - 1.16e-10 -> pri' <= -1.16e-10; |ln u|/1e12 <= 2.2e-11)
+    val top = df.orderBy(col("pri").desc, col("id")).select("id").as[Long].head()
+    assert(top == 7L)
+    // driver-side recomputation of the exact formula (the oracle contract)
+    def pri(id: Long, w: Double): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+      // Spark's Log expression evaluates via StrictMath (1 ulp off
+      // Math.log for some inputs); ordering is ulp-insensitive but this
+      // exact-equality check must use the same implementation
+      java.lang.StrictMath.log((h + 0.5) / 4294967296.0) / w
+    }
+    val got = df.select("id", "pri").as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, w) => assert(got(id) == pri(id, w), s"id=$id") }
+    // deterministic under any partitioning: top-5 identical at 1 and 13 parts
+    def top5(parts: Int) = graft.ops.TopK.topKPerKey(
+      df.repartition(parts).withColumn("k", lit("all")),
+      Seq("k"), "pri", "id", 5).select("id", "rnk").as[(Long, Int)].collect().toSet
+    assert(top5(1) == top5(13))
+  }
+
+  test("q55_assoc matches a brute-force basket recomputation at sf0.001") {
+    val got = SparkEntry.queries("q55_assoc")(spark, sfUnit)
+      .select("part_a", "part_b", "pair_cnt", "support", "conf_ab", "conf_ba", "lift")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._3 >= 2))
+
+    val li = spark.read.parquet(s"$sfUnit/lineitem.parquet")
+      .select(col("l_orderkey").as[Long], col("l_partkey").as[Long])
+      .collect().distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val icnt = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairs = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      .filter(_._2 >= 2L)
+
+    assert(got.length == pairs.size)
+    got.foreach { case (a, b, cnt, sup, cab, cba, lift) =>
+      assert(pairs((a, b)) == cnt, s"pair ($a,$b)")
+      assert(sup == cnt.toDouble / nOrders)
+      assert(cab == cnt.toDouble / icnt(a) && cba == cnt.toDouble / icnt(b))
+      assert(lift == (cnt * nOrders).toDouble / (icnt(a) * icnt(b)).toDouble)
+    }
+  }
 }

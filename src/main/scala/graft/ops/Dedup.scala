@@ -52,7 +52,35 @@ object Dedup {
     * above). This is also the verification stage of the MinHash path.
     */
   def ngramJaccardPairs(sh: DataFrame, threshold: Double,
-                        maxDf: Int = HotShingleDf): DataFrame = {
+                        maxDf: Int = HotShingleDf): DataFrame =
+    sharedRareCounts(sh, maxDf)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+
+  /** Asymmetric near-dup (subset/quote detection): containment
+    * |A ∩ B| / min(|A|, |B|) >= threshold flags pairs where the SMALLER
+    * document is mostly contained in the larger — a short document
+    * quoted inside a long one has Jaccard ~ 0 but containment ~ 1, so
+    * symmetric Jaccard dedup misses it entirely. Same inverted-index
+    * shape and hot-shingle df cap as [[ngramJaccardPairs]]; only the
+    * denominator changes (the smaller rare-shingle set).
+    */
+  def containmentPairs(sh: DataFrame, threshold: Double,
+                       maxDf: Int = HotShingleDf): DataFrame =
+    sharedRareCounts(sh, maxDf)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+
+  /** Shared-rare-shingle counts per doc pair: (a, b, shared, na, nb)
+    * over df<=maxDf shingles — the common core of the Jaccard and
+    * containment exact paths. One shuffle on shingle for the
+    * inverted-index self-join, one hash-agg per pair.
+    */
+  private def sharedRareCounts(sh: DataFrame, maxDf: Int): DataFrame = {
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("shingle"),
@@ -60,16 +88,11 @@ object Dedup {
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = rare.select(col("doc_id").as("a"), col("shingle"))
     val b = rare.select(col("doc_id").as("b"), col("shingle"))
-    val shared = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-    shared
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
   }
 
   /** C4-style segment-level corpus dedup: docs split into fixed-size

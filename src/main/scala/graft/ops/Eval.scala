@@ -109,4 +109,48 @@ object Eval {
         col("best.klass").as("klass"),
         (col("best.untyped") === 0).as("typed"))
   }
+
+  /** Exact ROC-AUC (Mann–Whitney with midrank tie handling) as a
+    * distributed rank-free computation: AUC = P(score_pos > score_neg)
+    * + 0.5 * P(tie). A global `row_number` over all rows would be a
+    * single-task sort; instead (1) collapse to per-DISTINCT-score
+    * (n_pos, n_neg) counts — one hash-agg, frame size = |distinct
+    * scores|, not rows; (2) two-level prefix sum for "negatives below":
+    * per-bucket totals (bucket = floor(score), monotone in score) get a
+    * window over the tiny distinct-bucket frame, then the within-bucket
+    * running sum runs partitioned BY bucket — no unpartitioned
+    * row-level window anywhere. The numerator is kept as the integer
+    * 2*U = sum(n_pos_s * (2*cum_neg_below + n_neg_s)) so every engine
+    * computes it exactly; the only float op is the final division.
+    * Counts must stay below 2^63 per score (BIGINT sums).
+    *
+    * Input: any frame; `score` numeric, `isPos` boolean. Output: one row
+    * (auc, n_pos, n_neg).
+    */
+  def auc(df: DataFrame, score: org.apache.spark.sql.Column,
+          isPos: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(score.cast("double").as("s"),
+        when(isPos, 1L).otherwise(0L).as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("nn"))
+      .withColumn("bkt", floor(col("s")).cast("long"))
+    val bktBelow = g.groupBy(col("bkt")).agg(sum(col("nn")).as("bn"))
+      .withColumn("below", coalesce(
+        sum(col("bn")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("below"))
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.join(broadcast(bktBelow), Seq("bkt"))
+      .withColumn("cum_neg",
+        col("below") + coalesce(sum(col("nn")).over(inBkt), lit(0L)))
+      .agg(
+        sum(col("np") * (lit(2L) * col("cum_neg") + col("nn"))).as("num2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(
+        (col("num2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
 }

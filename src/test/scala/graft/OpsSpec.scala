@@ -650,4 +650,55 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got2.toSeq === Seq(("d1", 1L)))
   }
+
+  test("containment catches a quoted subset that Jaccard misses") {
+    val short0 = "alpha beta gamma delta epsilon zeta"
+    val long0 = (1 to 40).map(i => s"w$i").mkString(" ") + " " + short0 +
+      " " + (41 to 80).map(i => s"w$i").mkString(" ")
+    val other = (1 to 45).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, short0), (2L, long0), (3L, other)).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val cont = Dedup.containmentPairs(sh, 0.9)
+      .select("a", "b", "containment").as[(Long, Long, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0) // every short-doc shingle is in the long doc
+    // the symmetric-Jaccard path does NOT flag this pair even at 0.3
+    val jac = Dedup.ngramJaccardPairs(sh, 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+    // brute-force oracle over full shingle sets
+    val sets = sh.as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for (a <- sets.keys; b <- sets.keys if a < b) {
+      val c = sets(a).intersect(sets(b)).size.toDouble /
+        math.min(sets(a).size, sets(b).size)
+      assert((c >= 0.9) == cont.exists(p => p._1 == a && p._2 == b), s"($a,$b)")
+    }
+  }
+
+  test("auc equals the brute-force pair count, midrank ties exact") {
+    val rnd = new scala.util.Random(7)
+    // quantized scores force ties; ~1/4 positives
+    val rows = (1 to 400).map { i =>
+      val pos = rnd.nextInt(4) == 0
+      val s = (rnd.nextInt(40) + (if (pos) rnd.nextInt(15) else 0)) / 4.0
+      (i.toLong, s, pos)
+    }
+    val df = rows.toDF("id", "score", "pos")
+    val Array((auc, np, nn)) = Eval.auc(df, col("score"), col("pos"))
+      .as[(Double, Long, Long)].collect()
+    val ps = rows.filter(_._3).map(_._2)
+    val ns = rows.filterNot(_._3).map(_._2)
+    assert(np == ps.length && nn == ns.length)
+    val num2 = (for (p <- ps; n <- ns) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(auc == num2.toDouble / (2.0 * ps.length * ns.length))
+    // perfect separation and pure-tie sanity points
+    val sep = Seq((1L, 1.0, false), (2L, 2.0, true)).toDF("id", "score", "pos")
+    assert(Eval.auc(sep, col("score"), col("pos"))
+      .select("auc").as[Double].head() == 1.0)
+    val tie = Seq((1L, 1.0, false), (2L, 1.0, true)).toDF("id", "score", "pos")
+    assert(Eval.auc(tie, col("score"), col("pos"))
+      .select("auc").as[Double].head() == 0.5)
+  }
 }

@@ -130,11 +130,15 @@ object Eval {
   def auc(df: DataFrame, score: org.apache.spark.sql.Column,
           isPos: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = df.select(score.cast("double").as("s"),
+    // checkpoint the distinct-score aggregate: two branches (bucket
+    // totals + the main cum-sum) consume it, and uncached the bucket
+    // branch would re-execute the whole corpus scan (exchange-reuse
+    // does not survive the differing downstream aggregations)
+    val g = graft.Ckpt(df.select(score.cast("double").as("s"),
         when(isPos, 1L).otherwise(0L).as("p"))
       .groupBy(col("s"))
       .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("nn"))
-      .withColumn("bkt", floor(col("s")).cast("long"))
+      .withColumn("bkt", floor(col("s")).cast("long")))
     val bktBelow = g.groupBy(col("bkt")).agg(sum(col("nn")).as("bn"))
       .withColumn("below", coalesce(
         sum(col("bn")).over(Window.orderBy(col("bkt"))

@@ -54,7 +54,9 @@ class PlanSpec extends SparkTestBase {
       "t29_kl" -> 1, "q49_markov" -> 1, "q41_bm25" -> 1,
       "e2_ann_lsh" -> 1, "q26_funnel" -> 1, "q50_paths" -> 1,
       "t24_rrf" -> 2, "t30_dsir" -> 2, // dsir: honest two-pass (estimate+score)
-      "t9_embed_neardup" -> 2)         // banded self-join sides
+      "t9_embed_neardup" -> 2,         // banded self-join sides
+      "t34_weighted_sample" -> 1, "q55_assoc" -> 1,
+      "t35_containment" -> 1, "q56_auc" -> 1)
     gates.foreach { case (q, maxPerFile) =>
       val df = SparkEntry.queries(q)(spark, sfUnit)
       df.collect()

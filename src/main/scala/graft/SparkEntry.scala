@@ -424,6 +424,11 @@ object SparkEntry {
       graft.ops.Dedup.containmentPairs(sh, 0.9)
     }),
 
+    // Sub-document dedup: maximal per-doc spans of 8-token windows that
+    // occur in more than one document (Lee et al. substring dedup).
+    "t36_dup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.dupSubstringSpans(documents(s, dir), "doc_id", "text")),
+
     "t8_simhash" -> ((s, dir) => {
       val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
       graft.ops.Dedup.simhashPairs(sh, 3)
@@ -2493,6 +2498,27 @@ object SparkEntry {
          SELECT a, b, shared * 1.0 / least(sa.nsh, sb.nsh) AS containment
          FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          WHERE shared * 1.0 / least(sa.nsh, sb.nsh) >= 0.9""",
+    "t36_dup_spans" ->
+      """WITH w AS (
+           SELECT doc_id, u.i - 1 AS s, u.i - 1 + 8 AS e,
+                  array_to_string(t[u.i:u.i+7], ' ') AS win
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                 FROM documents) d,
+                LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)),
+         dup AS (SELECT win FROM w GROUP BY win
+                 HAVING count(DISTINCT doc_id) > 1),
+         fl AS (SELECT doc_id, s, e FROM w JOIN dup USING (win)),
+         m AS (SELECT doc_id, s, e,
+                 CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id
+                      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), -1) >= s
+                      THEN 0 ELSE 1 END AS ni FROM fl),
+         isl AS (SELECT doc_id, s, e,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+                 FROM m)
+         SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+                CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
+         FROM isl GROUP BY doc_id, island""",
     "q56_auc" ->
       """WITH g AS (
            SELECT value AS s,

@@ -75,6 +75,53 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("a", "b", "containment")
 
+  /** Duplicated-substring spans (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): any k-token window
+    * occurring in MORE THAN ONE document is duplicated text; overlapping
+    * or touching flagged windows merge into maximal per-doc spans —
+    * the unit a curation pipeline cuts or down-weights. Unlike doc-level
+    * near-dup, this catches boilerplate and quotations embedded in
+    * otherwise-unique documents.
+    *
+    * Shape at scale: one shuffle on the window CONTENT (the dedup key;
+    * the suffix-array of the paper is a single-machine structure — the
+    * hash-group over windows is its distributed equivalent), a semi-join
+    * back, and the island merge runs in windows partitioned BY doc —
+    * every frame is doc-bounded, nothing global. Output: (doc_id,
+    * span_start, span_end, n_windows), token offsets, end exclusive.
+    */
+  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), "\\s+")
+    val wins = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("i",
+        explode(when(size(col("toks")) >= k,
+          sequence(lit(0), size(col("toks")) - k))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k))).as("win"))
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("win")
+    val flagged = wins.join(dup, Seq("win"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + k).as("e"))
+    // island merge: a window opens a new span iff it starts past the
+    // running max end of everything before it (touching spans merge)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("ni",
+        when(coalesce(max(col("e")).over(prevMax), lit(-1)) >= col("s"), 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
   /** Shared-rare-shingle counts per doc pair: (a, b, shared, na, nb)
     * over df<=maxDf shingles — the common core of the Jaccard and
     * containment exact paths. One shuffle on shingle for the

@@ -676,6 +676,25 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("dup substring spans: shared runs merge to maximal islands per doc") {
+    val X = (1 to 10).map(i => s"x$i")   // shared 10-token run -> 3 windows
+    val Y = (1 to 9).map(i => s"y$i")    // shared 9-token run  -> 2 windows
+    val doc1 = (X ++ (1 to 8).map(i => s"a$i") ++ Y).mkString(" ")
+    val doc2 = ((1 to 5).map(i => s"b$i") ++ X ++ (6 to 13).map(i => s"b$i") ++ Y)
+      .mkString(" ")
+    val doc3 = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val got = Dedup.dupSubstringSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1: X at tokens [0,10), Y at [18,27); doc2: X at [5,15), Y at [23,32)
+    assert(got == Set(
+      (1L, 0L, 10L, 3L), (1L, 18L, 27L, 2L),
+      (2L, 5L, 15L, 3L), (2L, 23L, 32L, 2L)))
+    // short docs (< k tokens) neither crash nor emit
+    val tiny = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
+    assert(Dedup.dupSubstringSpans(tiny, "doc_id", "text").count() == 0)
+  }
+
   test("auc equals the brute-force pair count, midrank ties exact") {
     val rnd = new scala.util.Random(7)
     // quantized scores force ties; ~1/4 positives

@@ -429,6 +429,10 @@ object SparkEntry {
     "t36_dup_spans" -> ((s, dir) =>
       graft.ops.Dedup.dupSubstringSpans(documents(s, dir), "doc_id", "text")),
 
+    // Apply the dup spans: corpus with duplicated substrings cut out.
+    "t37_despanned" -> ((s, dir) =>
+      graft.ops.Dedup.removeDupSpans(documents(s, dir), "doc_id", "text")),
+
     "t8_simhash" -> ((s, dir) => {
       val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
       graft.ops.Dedup.simhashPairs(sh, 3)
@@ -2519,6 +2523,31 @@ object SparkEntry {
          SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
                 CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_windows
          FROM isl GROUP BY doc_id, island""",
+    "t37_despanned" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                    FROM documents),
+         w AS (
+           SELECT doc_id, u.i - 1 AS s, u.i - 1 + 8 AS e,
+                  array_to_string(t[u.i:u.i+7], ' ') AS win
+           FROM d, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)),
+         dup AS (SELECT win FROM w GROUP BY win
+                 HAVING count(DISTINCT doc_id) > 1),
+         fl AS (SELECT doc_id, s, e FROM w JOIN dup USING (win)),
+         tok AS (SELECT doc_id, u.i - 1 AS i, t[u.i] AS tok
+                 FROM d, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+         kept AS (SELECT doc_id, i, tok FROM tok
+                  WHERE NOT EXISTS (SELECT 1 FROM fl
+                    WHERE fl.doc_id = tok.doc_id
+                      AND tok.i >= fl.s AND tok.i < fl.e))
+         SELECT d.doc_id,
+                coalesce((SELECT string_agg(tok, ' ' ORDER BY i)
+                          FROM kept WHERE kept.doc_id = d.doc_id), '')
+                  AS clean_text,
+                CAST(len(d.t) AS BIGINT) AS n_tokens,
+                CAST(len(d.t) - (SELECT count(*) FROM kept
+                                 WHERE kept.doc_id = d.doc_id) AS BIGINT)
+                  AS n_removed
+         FROM d""",
     "q56_auc" ->
       """WITH g AS (
            SELECT value AS s,

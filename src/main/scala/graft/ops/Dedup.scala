@@ -122,6 +122,38 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** Apply [[dupSubstringSpans]]: emit every document with its flagged
+    * spans cut out — (doc_id, clean_text, n_tokens, n_removed). Policy:
+    * remove EVERY copy of duplicated text (the conservative curation
+    * default; keep-one-occurrence is a policy variant that needs a
+    * global owner election per window and buys little for boilerplate).
+    * Documents with no flagged spans pass through whole, with
+    * whitespace normalized to single spaces (the tokenizer's quotient).
+    *
+    * Shape at scale: the span frame is doc-keyed and tiny next to the
+    * corpus; the apply step is one shuffle join on doc_id plus a
+    * doc-local array filter (tokens x spans per doc, both doc-bounded).
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val spans = dupSubstringSpans(df, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val toks = split(col(textCol), "\\s+")
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks")).otherwise(
+          // zip each token with its 0-based index, drop those inside a span
+          filter(col("toks"), (_, i) =>
+            !exists(col("spans"), sp => i >= sp("s") && i < sp("e")))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Shared-rare-shingle counts per doc pair: (a, b, shared, na, nb)
     * over df<=maxDf shingles — the common core of the Jaccard and
     * containment exact paths. One shuffle on shingle for the

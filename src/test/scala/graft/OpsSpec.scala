@@ -693,6 +693,21 @@ class OpsSpec extends SparkTestBase {
     // short docs (< k tokens) neither crash nor emit
     val tiny = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
     assert(Dedup.dupSubstringSpans(tiny, "doc_id", "text").count() == 0)
+
+    // applying the spans: every copy cut, untouched docs pass whole
+    val cleaned = Dedup.removeDupSpans(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cleaned(1L) == (((1 to 8).map(i => s"a$i").mkString(" "), 27L, 19L)))
+    assert(cleaned(2L) ==
+      (((1 to 13).map(i => s"b$i").mkString(" "), 32L, 19L)))
+    assert(cleaned(3L) == ((doc3, 20L, 0L)))
+    // all-duplicate doc cleans to the empty string, not null
+    val twin = Seq((1L, (1 to 9).map(i => s"z$i").mkString(" ")),
+      (2L, (1 to 9).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.removeDupSpans(twin, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toSet ==
+      Set((1L, "", 9L, 9L), (2L, "", 9L, 9L)))
   }
 
   test("auc equals the brute-force pair count, midrank ties exact") {

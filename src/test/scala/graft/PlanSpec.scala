@@ -57,7 +57,8 @@ class PlanSpec extends SparkTestBase {
       "t9_embed_neardup" -> 2,         // banded self-join sides
       "t34_weighted_sample" -> 1, "q55_assoc" -> 1,
       "t35_containment" -> 1, "q56_auc" -> 1,
-      "t36_dup_spans" -> 2) // honest two-pass: window index, then flag
+      "t36_dup_spans" -> 2, // honest two-pass: window index, then flag
+      "t37_despanned" -> 3) // t36's two passes + the apply join back
     gates.foreach { case (q, maxPerFile) =>
       val df = SparkEntry.queries(q)(spark, sfUnit)
       df.collect()

@@ -269,6 +269,14 @@ object Bench {
     // level ran against co-tenant CPU contention (a failure mode the
     // sys/steal split misses when the neighbors burn plain user time)
     val levelContended = scala.collection.mutable.Map.empty[Int, Boolean]
+    // set where loadBaseline is captured (ladder start): a 1-min loadavg
+    // already above the quiet gate BEFORE any level has run is genuine
+    // co-tenant load — the baseline+0.5 gate adaptation exists only to
+    // skip waiting out our OWN decaying load between levels, and on a
+    // contended start it silently waves every level through (2026-08-19
+    // run 5: baseline ~4.5, all levels "quiet" per the lifted gate, pair
+    // eff 0.69 vs the 0.96 quiet-window truth — and NOT marked degraded)
+    var baselineContended = false
     @volatile var abortedBy: Option[String] = None
     // set when the warmup circuit-breaker trips (degraded host): the
     // remaining ladder levels are skipped so the queries still land
@@ -312,7 +320,8 @@ object Bench {
       // prediction fitted on the quiet-window pair — i.e. still poisoned.
       val degraded = levels.exists(l => levelHostCpu.get(l)
         .exists(h => h._2 + h._4 > 0.3 * h._1)) ||
-        levels.exists(l => levelContended.getOrElse(l, false))
+        levels.exists(l => levelContended.getOrElse(l, false)) ||
+        baselineContended
       // drop(1), not .tail: Nil.tail THROWS, and this runs on the
       // watchdog thread before any level has completed — the round-3
       // driver run lost its whole artifact to exactly that (the watchdog
@@ -636,6 +645,10 @@ object Bench {
     // burned ~75 s waiting for its own decaying load); only wait when
     // load clearly exceeds what the box showed before we did anything.
     val loadBaseline = load1
+    baselineContended = loadBaseline > quietLoad
+    if (baselineContended)
+      println(f"[bench] ladder baseline load=$loadBaseline%.2f > quiet " +
+        f"gate $quietLoad%.1f — run will be marked host_degraded")
     /** Returns true if the load gate was reached (level starts quiet);
       * false means the bounded wait timed out and the level will run
       * against live co-tenant load.

@@ -265,6 +265,12 @@ object Bench {
     // shows up as sys >> user — recording it makes a poisoned level
     // self-evident in the artifact instead of looking like a plan defect.
     val levelHostCpu = scala.collection.mutable.Map.empty[Int, (Double, Double, Double, Double)]
+    // wall time of EVERY completed attempt per level (kept or not): on a
+    // quiet host repeated runs of the same job land within a few percent,
+    // so a wide spread across a level's attempts is direct evidence the
+    // level raced episodic co-tenant load even when the kept (fastest)
+    // attempt's own CPU split reads healthy
+    val levelWalls = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Double]]
     // kept attempt started with loadavg still above the quiet gate: the
     // level ran against co-tenant CPU contention (a failure mode the
     // sys/steal split misses when the neighbors burn plain user time)
@@ -311,16 +317,23 @@ object Bench {
         s""""${lvlName(l)}":{"sec":${levelResults(l)._1},"docs_per_sec":${tput(l)}$host}"""
       }.mkString("{", ",", "}")
       // one-glance health verdict: a level that burned kernel+steal time
-      // beyond 30% of its user CPU ran during a provisioning/co-tenant
+      // beyond 25% of its user CPU ran during a provisioning/co-tenant
       // storm (BENCH.md pathology section) — its wall time measures the
       // host, not the plan. Calibration from measured levels of the SAME
-      // job: healthy 0.21 (user 424 / sys 55 / steal 34), storm 1.39
-      // (user 922 / sys 702 / steal 584); a 0.37 level that slipped under
-      // the old 0.5 threshold ran its 4N wall 2.1x over the Amdahl
-      // prediction fitted on the quiet-window pair — i.e. still poisoned.
+      // job: healthy 0.19-0.21 (user 424 / sys 55 / steal 34), storm
+      // 1.39 (user 922 / sys 702 / steal 584); levels at 0.37 and 0.286
+      // each slipped under earlier thresholds (0.5, then 0.3) while
+      // running their 4N wall 1.4-2.1x over the Amdahl prediction fitted
+      // on the quiet-window pair — i.e. still poisoned. Second signal:
+      // a level whose completed attempts spread >25% in wall time raced
+      // episodic load (quiet-host repeats land within a few percent;
+      // the 2026-08-19 run that shipped eff 0.62 as "this_run" spread
+      // 117 -> 159 s across four L4 attempts).
       val degraded = levels.exists(l => levelHostCpu.get(l)
-        .exists(h => h._2 + h._4 > 0.3 * h._1)) ||
+        .exists(h => h._2 + h._4 > 0.25 * h._1)) ||
         levels.exists(l => levelContended.getOrElse(l, false)) ||
+        levels.exists(l => levelWalls.get(l)
+          .exists(w => w.size > 1 && w.max > 1.25 * w.min)) ||
         baselineContended
       // drop(1), not .tail: Nil.tail THROWS, and this runs on the
       // watchdog thread before any level has completed — the round-3
@@ -379,6 +392,9 @@ object Bench {
           s""""replicate":$replicate,"levels":$perLevel,"scaling_pairs":$pairJson,""" +
           s""""loadavg_at_levels":[${loadSeen.map { case (l, v) =>
             s"""{"level":$l,"load":$v}""" }.mkString(",")}],""" +
+          s""""attempt_walls_s":{${levelWalls.toSeq.sortBy(_._1).map {
+            case (l, ws) => s""""$l":[${ws.map(w => f"$w%.1f").mkString(",")}]"""
+          }.mkString(",")}},""" +
           // fresh-page provision rate right before each level (see
           // probeFaultMBps scaladoc): healthy host ~1000+, degraded
           // ~10-30. A pair taken under a degraded probe measures the
@@ -721,6 +737,8 @@ object Bench {
       val c0 = hostCpu()
       try {
         val r = timed(l)
+        levelWalls.getOrElseUpdate(l,
+          scala.collection.mutable.ArrayBuffer.empty) += r._1
         val d = hostCpu().zip(c0).map { case (a, b) => (a - b) / 100.0 }
         val cpu = (d(0), d(2), d(3), d(7))
         println(f"[bench] L$l host_cpu_cores_s user=${d(0)}%.0f sys=${d(2)}%.0f " +

@@ -710,6 +710,58 @@ class OpsSpec extends SparkTestBase {
       Set((1L, "", 9L, 9L), (2L, "", 9L, 9L)))
   }
 
+  test("dup spans + despanning match driver-side brute force on random corpora") {
+    val k = 4
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      // tiny vocab so shared k-token runs occur by chance
+      val docs = (1L to (3 + rnd.nextInt(4)).toLong).map { id =>
+        val n = rnd.nextInt(30)
+        id -> Seq.fill(n)(s"w${rnd.nextInt(3)}").mkString(" ")
+      }
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+", -1).toSeq }.toMap
+      val wins = toks.toSeq.flatMap { case (id, ts) =>
+        if (ts.length >= k)
+          (0 to ts.length - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+        else Nil
+      }
+      val dupWins = wins.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size > 1).keySet
+      val expectCover: Map[Long, Set[Int]] = wins.filter(w => dupWins(w._3))
+        .groupBy(_._1)
+        .map { case (id, ws) => id -> ws.flatMap(w => w._2 until w._2 + k).toSet }
+
+      val df = docs.toDF("doc_id", "text")
+      val spans = Dedup.dupSubstringSpans(df, "doc_id", "text", k)
+        .as[(Long, Long, Long, Long)].collect()
+      // island union == union of flagged windows, islands disjoint with gaps
+      val gotCover = spans.groupBy(_._1).map { case (id, ss) =>
+        id -> ss.flatMap(s => s._2.toInt until s._3.toInt).toSet
+      }
+      assert(gotCover == expectCover)
+      spans.groupBy(_._1).values.foreach { ss =>
+        val sorted = ss.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 < b._2) // strict gap: touching merged
+          case _ =>
+        }
+      }
+      // the applied cut mirrors the same coverage exactly
+      val cleaned = Dedup.removeDupSpans(df, "doc_id", "text", k)
+        .as[(Long, String, Long, Long)].collect()
+      assert(cleaned.length == docs.length)
+      cleaned.foreach { case (id, text, nTok, nRem) =>
+        val cover = expectCover.getOrElse(id, Set.empty)
+        val ts = toks(id)
+        assert(nTok == ts.length)
+        assert(nRem == cover.size)
+        assert(text == ts.zipWithIndex.collect {
+          case (t, i) if !cover(i) => t
+        }.mkString(" "))
+      }
+    }
+  }
+
   test("auc equals the brute-force pair count, midrank ties exact") {
     val rnd = new scala.util.Random(7)
     // quantized scores force ties; ~1/4 positives

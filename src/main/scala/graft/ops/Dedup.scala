@@ -83,12 +83,18 @@ object Dedup {
     * near-dup, this catches boilerplate and quotations embedded in
     * otherwise-unique documents.
     *
-    * Shape at scale: one shuffle on the window CONTENT (the dedup key;
-    * the suffix-array of the paper is a single-machine structure — the
-    * hash-group over windows is its distributed equivalent), a semi-join
-    * back, and the island merge runs in windows partitioned BY doc —
-    * every frame is doc-bounded, nothing global. Output: (doc_id,
-    * span_start, span_end, n_windows), token offsets, end exclusive.
+    * Shape at scale: one shuffle on the WINDOW FINGERPRINT (the dedup
+    * key; the suffix-array of the paper is a single-machine structure —
+    * the hash-group over windows is its distributed equivalent), a
+    * semi-join back, and the island merge runs in windows partitioned BY
+    * doc — every frame is doc-bounded, nothing global. The group/join
+    * key is xxhash64 of the window, not its text: a k-token window is
+    * tens of bytes where the hash is 8, so the big shuffle shrinks ~6x;
+    * a 64-bit collision falsely flags one k-token span (dedup is
+    * advisory, not destructive of meaning), with corpus-wide P(any
+    * collision) ~ n^2/2^65 — a few percent even at 10^12 windows.
+    * Output: (doc_id, span_start, span_end, n_windows), token offsets,
+    * end exclusive.
     */
   def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {
@@ -100,7 +106,8 @@ object Dedup {
           sequence(lit(0), size(col("toks")) - k))
           .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("i"),
-        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k))).as("win"))
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k))))
+          .as("win"))
     val dup = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("win")

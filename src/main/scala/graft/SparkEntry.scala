@@ -454,6 +454,18 @@ object SparkEntry {
       graft.ops.Dedup.canonicalize(s, graft.ops.Dedup.minhashLshPairs(sh, 0.8))
     }),
 
+    // keep-the-BEST-copy dedup policy: one representative per near-dup
+    // cluster by quality (longest text, ties -> min id) instead of t10's
+    // min-id canonical — the rule production corpus dedup actually wants.
+    "t39_best_rep" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.shingles(documents(s, dir), "doc_id", "text").cache()
+      val canon = graft.ops.Dedup.canonicalize(
+        s, graft.ops.Dedup.minhashLshPairs(sh, 0.8))
+      graft.ops.Dedup.bestRepresentatives(
+        canon, documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "n_chars")
+    }),
+
     // SCALE path ships: banded sign-LSH candidates + exact verify (the
     // O(n^2) cross join stays a test-only oracle in OpsSpec). The DuckDB
     // oracle mirrors the banding exactly, so recall is checked too.
@@ -1001,6 +1013,33 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("rnk").cast("long").as("rnk"))
     }),
 
+    // ---- domain-mixture resampling weights --------------------------------
+    // Per (lang, source) domain: corpus share vs a sqrt-scaled target
+    // mixture (the standard multilingual-training rebalance, alpha=0.5)
+    // and the per-doc resampling weight target/corpus. Determinism across
+    // engines: per-group sqrt is quantized to an integer (round(sqrt*1e6))
+    // BEFORE the cross-group sum, so every sum is exact and the final
+    // doubles are single divisions of exact values — no float-accumulation
+    // order sensitivity. Scale: one hash-agg to G domain rows, totals
+    // broadcast back; nothing here is corpus-sized after the first agg.
+    "t38_domain_mix" -> ((s, dir) => {
+      val g = documents(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq",
+          round(sqrt(col("n_docs").cast("double")) * 1e6, 0).cast("long"))
+      val tot = g.agg(sum(col("n_docs")).as("n_total"),
+        sum(col("sq")).as("sq_total"))
+      g.crossJoin(broadcast(tot)).select(
+        col("lang"), col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("corpus_share"),
+        (col("sq").cast("double") / col("sq_total").cast("double"))
+          .as("target_share"),
+        ((col("sq").cast("double") * col("n_total").cast("double")) /
+          (col("sq_total").cast("double") * col("n_docs").cast("double")))
+          .as("weight"))
+    }),
+
     // ---- association rules over order baskets ---------------------------
     // Market-basket co-occurrence: support / confidence / lift per part
     // pair. Shape at scale: distinct (order, part) first (baskets are
@@ -1050,6 +1089,21 @@ object SparkEntry {
     // makes the iteration deterministic and SQL-unrollable (no RNG).
     "q53_labelprop" -> ((s, dir) =>
       graft.ops.Graph.labelPropagation(coEdges(s, dir), iterations = 2)),
+
+    // ---- ancestor closure via path doubling --------------------------------
+    // Full ancestor chains over the deterministic binary-heap forest
+    // parent(k) = k div 2: 5 doubling rounds cover depth <= 32 (a 4-billion
+    // node tree) where a frontier loop would need one join per level.
+    // Output is per-vertex (count, sum) of the ancestor set — compact, and
+    // any closure error (missed hop, duplicate pair) breaks one of the two.
+    "q57_ancestors" -> ((s, dir) => {
+      val parents = part(s, dir).filter(col("p_partkey") >= 2)
+        .select(col("p_partkey").as("src"),
+          expr("p_partkey div 2").as("dst"))
+      graft.ops.Graph.transitiveClosure(parents, rounds = 5)
+        .groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).as("n_anc"), sum(col("dst")).as("anc_sum"))
+    }),
 
     // ---- weekly cohort retention --------------------------------------
     // Integer-exact calendar math (epoch-microsecond div), per-user
@@ -2068,6 +2122,39 @@ object SparkEntry {
            UNION
            SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
          SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""",
+    // same closure as t10, then the keep-best policy: per component the
+    // max-n_chars member (ties -> min doc_id) and the member count
+    "t39_best_rep" ->
+      """WITH RECURSIVE sh AS (
+           SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                  for i in generate_series(1, len(t)-2)]) AS shingle
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         shared AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+           FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a, b FROM shared
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+         canon AS (SELECT id AS doc_id, min(r) AS canonical_id
+                   FROM reach GROUP BY id),
+         m AS (
+           SELECT c.canonical_id, c.doc_id, d.n_chars,
+                  row_number() OVER (PARTITION BY c.canonical_id
+                    ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY c.canonical_id) AS n_members
+           FROM canon c JOIN documents d USING (doc_id))
+         SELECT canonical_id, doc_id AS rep_doc_id,
+                n_chars AS rep_quality, n_members
+         FROM m WHERE rn = 1""",
     "t9_embed_neardup" ->
       """WITH b AS (
            SELECT vec_id, band,
@@ -2601,6 +2688,32 @@ object SparkEntry {
                     ORDER BY cnt DESC, label ASC) AS rn
                   FROM n2) WHERE rn = 1)
          SELECT vertex, label FROM l2"""),
+    // true recursion is the oracle for the log-step doubling closure:
+    // both converge to the same ancestor set over the parent forest
+    "q57_ancestors" ->
+      """WITH RECURSIVE par AS (
+           SELECT p_partkey AS v, p_partkey // 2 AS p
+           FROM part WHERE p_partkey >= 2),
+         anc(v, a) AS (
+           SELECT v, p FROM par
+           UNION
+           SELECT anc.v, par.p FROM anc JOIN par ON par.v = anc.a)
+         SELECT v AS vertex, count(*) AS n_anc,
+                CAST(sum(a) AS BIGINT) AS anc_sum
+         FROM anc GROUP BY 1""",
+    "t38_domain_mix" ->
+      """WITH g AS (
+           SELECT lang, source, count(*) AS n_docs,
+                  CAST(round(sqrt(count(*) * 1.0) * 1e6, 0) AS BIGINT) AS sq
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                        CAST(sum(sq) AS BIGINT) AS sq_total FROM g)
+         SELECT lang, source, n_docs,
+                CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS corpus_share,
+                CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE) AS target_share,
+                (CAST(sq AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+                  (CAST(sq_total AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS weight
+         FROM g, tot""",
     "q31_cohort" ->
       """WITH a AS (
            SELECT DISTINCT user_id,

@@ -423,6 +423,33 @@ object Dedup {
       pairs.select(col("a").as("src"), col("b").as("dst")))
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
 
+  /** Quality-based representative per near-dup cluster: instead of
+    * keeping the min-id member ([[canonicalize]]'s default policy), keep
+    * the BEST one — the member maximizing `quality` (ties → smallest
+    * doc_id), the keep-the-longest/cleanest-copy rule production corpus
+    * dedup actually wants (a near-dup cluster usually mixes a full
+    * article with truncated or boilerplate-wrapped copies).
+    *
+    * `canon` is [[canonicalize]]'s output; `quality(doc_id, <qualityCol>)`
+    * any per-doc score frame. One equi-join + one window partitioned by
+    * cluster (group size = cluster size, already bounded by the pair
+    * graph's components). Output one row per cluster:
+    * (canonical_id, rep_doc_id, rep_quality, n_members).
+    */
+  def bestRepresentatives(canon: DataFrame, quality: DataFrame,
+                          qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id"))
+    val members = canon.join(quality, "doc_id")
+    members
+      .withColumn("rn", row_number().over(
+        w.orderBy(col(qualityCol).desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("rep_doc_id"),
+        col(qualityCol).as("rep_quality"), col("n_members"))
+  }
+
   /** Embedding-cosine near-dup pairs, EXACT variant: block-nested join.
     * O(n^2) — test-oracle scope only (below ~10^4 vectors); the shipping
     * path is [[signLshPairs]].

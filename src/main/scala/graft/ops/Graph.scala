@@ -157,6 +157,32 @@ object Graph {
     pr.select(col("vertex"), col("pr").as("pr_int"))
   }
 
+  /** Transitive closure via path doubling: returns every (src, dst) pair
+    * connected by a directed path of length ≤ 2^rounds — so `rounds` =
+    * ⌈log₂(max path length)⌉, a handful of joins where the frontier loop
+    * needs one join PER HOP. The right kernel when the closure itself is
+    * the product (ontology subclass/ancestor chains, category rollups):
+    * per-vertex closure size is bounded by DAG depth there, so the
+    * doubled frame grows linearly with Σdepth(v), never |V|².
+    *
+    * Scale shape per round: one self-equi-join on the midpoint key + one
+    * distinct (both plain hash shuffles on the same key — AQE coalesces
+    * them), localCheckpoint to truncate the doubling lineage. NOT for
+    * dense graphs: closure of a strongly-connected component is |C|² by
+    * definition — use [[reachableWithin]]/ConnectedComponents there.
+    */
+  def transitiveClosure(edges: DataFrame, rounds: Int): DataFrame = {
+    var r = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val hop = r.as("x")
+        .join(r.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      r = r.unionAll(hop).distinct().localCheckpoint(true)
+    }
+    r
+  }
+
   /** Synchronous label propagation (community detection, Raghavan et al.
     * 2007): every vertex starts labeled by itself; each round it adopts
     * the most frequent label among its NEIGHBORS, ties broken by the

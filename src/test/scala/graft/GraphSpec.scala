@@ -75,4 +75,31 @@ class GraphSpec extends SparkTestBase {
     val pr = Graph.pageRank(edges, 1).as[(Long, Long)].collect().toMap
     assert(pr === Map(1L -> 500000000L, 2L -> 500000000L))
   }
+
+  test("transitiveClosure: doubling covers paths of length <= 2^rounds") {
+    // chain 1 -> 2 -> 3 -> 4 -> 5 (path lengths up to 4)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def pairsAt(rounds: Int) = Graph.transitiveClosure(chain, rounds)
+      .as[(Long, Long)].collect().toSet
+    // rounds=1 -> length <= 2; the length-3 and -4 pairs are absent
+    assert(pairsAt(1) === Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 3L), (2L, 4L), (3L, 5L)))
+    // rounds=2 -> length <= 4: the full closure, no duplicates
+    val full = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    assert(pairsAt(2) === full.toSet)
+    // extra rounds are idempotent once the closure is reached
+    assert(pairsAt(3) === full.toSet)
+  }
+
+  test("transitiveClosure on a DAG with reconverging paths stays a set") {
+    // diamond 1 -> {2,3} -> 4 -> 5: two length-2 paths to 4 must yield
+    // ONE (1,4) row, and (1,5) arrives via either arm
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val rows = Graph.transitiveClosure(dag, 3).as[(Long, Long)].collect()
+    assert(rows.length === rows.toSet.size)
+    assert(rows.toSet === Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L)))
+  }
 }

@@ -178,6 +178,19 @@ class OpsSpec extends SparkTestBase {
     assert(canon.filter { case (d, c) => d == c }.keySet == Set(1L, 7L))
   }
 
+  test("bestRepresentatives keeps the max-quality member per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val canon = Dedup.canonicalize(spark, pairs)
+    val quality = Seq((1L, 10L), (2L, 40L), (3L, 40L), (7L, 5L), (9L, 8L))
+      .toDF("doc_id", "n_chars")
+    val reps = Dedup.bestRepresentatives(canon, quality, "n_chars")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cluster {1,2,3}: 2 and 3 tie at 40 -> min doc_id 2 wins; 3 members
+    // cluster {7,9}: 9 outranks the min-id canonical 7
+    assert(reps === Map(1L -> ((2L, 40L, 3L)), 7L -> ((9L, 8L, 2L))))
+  }
+
   test("shingles: docs shorter than n tokens yield no shingles (no crash)") {
     val docs = Seq(
       (1L, "ab"),                // 1 token  < n=3

@@ -1013,6 +1013,28 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("rnk").cast("long").as("rnk"))
     }),
 
+    // ---- BPE merge step (tokenizer-training inner loop) --------------------
+    // One BPE training iteration (Sennrich et al. '16): adjacent-symbol
+    // pair counts over the word-frequency dict, top candidates by
+    // (count desc, pair asc) — the argmax IS the next merge rule. Same
+    // one-refinement-step contract as e5_kmeans_step: callers loop it.
+    // Scale: the corpus collapses to the word dict in one hash-agg (vocab
+    //-sized, not corpus-sized); pair explode is per-word-length over the
+    // DICT; top-k plans as TakeOrderedAndProject (per-partition heaps).
+    "t40_bpe_step" -> ((s, dir) => {
+      val words = documents(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      words
+        .select(col("word"), col("wcount"),
+          explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+        .select(expr("substr(word, i, 2)").as("pair"), col("wcount"))
+        .groupBy(col("pair")).agg(sum(col("wcount")).as("total"))
+        .orderBy(col("total").desc, col("pair").asc)
+        .limit(10)
+    }),
+
     // ---- domain-mixture resampling weights --------------------------------
     // Per (lang, source) domain: corpus share vs a sqrt-scaled target
     // mixture (the standard multilingual-training rebalance, alpha=0.5)
@@ -2701,6 +2723,20 @@ object SparkEntry {
          SELECT v AS vertex, count(*) AS n_anc,
                 CAST(sum(a) AS BIGINT) AS anc_sum
          FROM anc GROUP BY 1""",
+    "t40_bpe_step" ->
+      """WITH w AS (
+           SELECT word, count(*) AS wcount FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+             FROM documents)
+           WHERE len(word) >= 2 GROUP BY 1),
+         p AS (
+           SELECT unnest([substr(word, i, 2)
+                          for i in generate_series(1, len(word)-1)]) AS pair,
+                  wcount
+           FROM w)
+         SELECT pair, CAST(sum(wcount) AS BIGINT) AS total
+         FROM p GROUP BY 1
+         ORDER BY total DESC, pair ASC LIMIT 10""",
     "t38_domain_mix" ->
       """WITH g AS (
            SELECT lang, source, count(*) AS n_docs,

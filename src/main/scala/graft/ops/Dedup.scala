@@ -166,7 +166,23 @@ object Dedup {
     * containment exact paths. One shuffle on shingle for the
     * inverted-index self-join, one hash-agg per pair.
     */
-  private def sharedRareCounts(sh: DataFrame, maxDf: Int): DataFrame = {
+  /** Shingle strings projected to xxhash64 longs — used wherever the
+    * shingle is only a JOIN/GROUP key (set semantics): a 3-token shingle
+    * is ~20-30 bytes where the hash is 8, so every shingle-keyed shuffle
+    * (df counts, inverted-index self-joins, verify joins) shrinks ~3x in
+    * bytes and compares longs instead of strings. A 64-bit collision
+    * merges two distinct shingles — P(any) ~ n²/2⁶⁵ over the corpus's
+    * distinct shingles, and it perturbs one pair's Jaccard by one
+    * element at most (same advisory-dedup tradeoff as
+    * [[dupSubstringSpans]]'s window fingerprints). NOT applied where the
+    * string itself is the contract: [[simhash]] (md5 bit projection) and
+    * [[minhashSignatures]] (UDF hashes internally).
+    */
+  private def hashedShingles(sh: DataFrame): DataFrame =
+    sh.withColumn("shingle", xxhash64(col("shingle")))
+
+  private def sharedRareCounts(shRaw: DataFrame, maxDf: Int): DataFrame = {
+    val sh = hashedShingles(shRaw)
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("shingle"),
@@ -252,8 +268,9 @@ object Dedup {
     * prefix-filter paths. Shuffle volume is bounded by candidate count
     * times per-doc shingle count, never corpus^2.
     */
-  private def verifyJaccard(sh: DataFrame, cands: DataFrame,
+  private def verifyJaccard(shRaw: DataFrame, cands: DataFrame,
                             threshold: Double): DataFrame = {
+    val sh = hashedShingles(shRaw)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = cands.join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
@@ -315,7 +332,11 @@ object Dedup {
     * length filter (min size >= t * max size, a Jaccard necessary
     * condition) prunes cross-size pairs before the distinct.
     */
-  def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+  def prefixCandidates(shRaw: DataFrame, threshold: Double): DataFrame = {
+    // hashed longs as the canonical order + join key: prefix filtering is
+    // lossless under ANY fixed total order of shingles, so ordering by
+    // (df, hash) instead of (df, string) keeps exact recall
+    val sh = hashedShingles(shRaw)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val prefix = sh.join(df, Seq("shingle"))

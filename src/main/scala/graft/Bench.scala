@@ -146,6 +146,7 @@ object Bench {
     "t11_splits", "e1_ann_topk", "e2_ann_lsh", "e4_ann_ivf",
     "q29_path2", "q30_pagerank", "q34_bloom_join",
     "t27_tfidf", "t30_dsir", "q54_skyline",
+    "q57_ancestors", "t39_best_rep", "t40_bpe_step",
     "kg_spans", "kg_sections", "kg_triples")
 
   /** The KB-population job benched for scaling: docs (optionally

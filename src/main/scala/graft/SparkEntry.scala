@@ -1106,6 +1106,38 @@ object SparkEntry {
       graft.ops.Eval.auc(events(s, dir), col("value"),
         col("event_type") === "purchase")),
 
+    // ---- key-skew profile ---------------------------------------------------
+    // The diagnostic run BEFORE choosing a join/partition strategy at
+    // 100 TB: per-key multiplicities of a candidate shuffle key, reduced
+    // to (rows, keys, hottest-key share, discrete p50/p99 multiplicity).
+    // Percentiles come from the COUNTS-OF-COUNTS histogram (smallest
+    // multiplicity whose cumulative key count reaches the quantile) —
+    // exact, and the only corpus-sized shuffle is the first hash-agg;
+    // the histogram frame is |distinct multiplicities|, so the
+    // unpartitioned cum-sum window is O(that) regardless of key count
+    // (same bounded-frame rationale as t24's rank window).
+    "q58_skew_profile" -> ((s, dir) => {
+      val counts = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val hist = counts.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+      val tot = counts.agg(
+        sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("nk")).over(Window.orderBy(col("cnt"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      cum.crossJoin(broadcast(tot))
+        .groupBy(col("n_rows"), col("n_keys"), col("max_cnt")).agg(
+          min(when(col("cum") >= ceil(col("n_keys") * 0.5), col("cnt")))
+            .as("p50_cnt"),
+          min(when(col("cum") >= ceil(col("n_keys") * 0.99), col("cnt")))
+            .as("p99_cnt"))
+        .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+          round(col("max_cnt").cast("double") / col("n_rows").cast("double"), 6)
+            .as("max_share"),
+          col("p50_cnt"), col("p99_cnt"))
+    }),
+
     // ---- label-propagation community detection ---------------------------
     // 2 synchronous rounds over the co-order graph; min-label tie-break
     // makes the iteration deterministic and SQL-unrollable (no RNG).
@@ -2710,6 +2742,21 @@ object SparkEntry {
                     ORDER BY cnt DESC, label ASC) AS rn
                   FROM n2) WHERE rn = 1)
          SELECT vertex, label FROM l2"""),
+    "q58_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         h AS (SELECT cnt, count(*) AS nk FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                      CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+         cu AS (SELECT cnt, sum(nk) OVER (ORDER BY cnt
+                  ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+         SELECT n_rows, n_keys, max_cnt,
+                round(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                  AS max_share,
+                min(CASE WHEN cum >= ceil(n_keys * 0.5) THEN cnt END)
+                  AS p50_cnt,
+                min(CASE WHEN cum >= ceil(n_keys * 0.99) THEN cnt END)
+                  AS p99_cnt
+         FROM cu, t GROUP BY 1, 2, 3""",
     // true recursion is the oracle for the log-step doubling closure:
     // both converge to the same ancestor set over the parent forest
     "q57_ancestors" ->

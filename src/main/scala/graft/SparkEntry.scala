@@ -1045,13 +1045,18 @@ object SparkEntry {
     // order sensitivity. Scale: one hash-agg to G domain rows, totals
     // broadcast back; nothing here is corpus-sized after the first agg.
     "t38_domain_mix" -> ((s, dir) => {
+      // totals come from unpartitioned window sums over the G-row domain
+      // frame (bounded by |lang x source|, same rationale as t24/q58) —
+      // NOT a separate aggregate of g, which would re-run the corpus scan
       val g = documents(s, dir).groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("sq",
           round(sqrt(col("n_docs").cast("double")) * 1e6, 0).cast("long"))
-      val tot = g.agg(sum(col("n_docs")).as("n_total"),
-        sum(col("sq")).as("sq_total"))
-      g.crossJoin(broadcast(tot)).select(
+      val all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("n_total", sum(col("n_docs")).over(all))
+        .withColumn("sq_total", sum(col("sq")).over(all))
+        .select(
         col("lang"), col("source"), col("n_docs"),
         (col("n_docs").cast("double") / col("n_total").cast("double"))
           .as("corpus_share"),
@@ -1117,11 +1122,16 @@ object SparkEntry {
     // unpartitioned cum-sum window is O(that) regardless of key count
     // (same bounded-frame rationale as t24's rank window).
     "q58_skew_profile" -> ((s, dir) => {
-      val counts = events(s, dir).groupBy(col("user_id"))
+      // ONE corpus scan: the tiny histogram is materialized once
+      // (localCheckpoint — multi-branch invariant) and totals derive
+      // from IT (n_rows = Σ cnt·nk, n_keys = Σ nk), never from a second
+      // pass over the key counts
+      val hist = events(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("cnt"))
-      val hist = counts.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
-      val tot = counts.agg(
-        sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        .groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+        .localCheckpoint(true)
+      val tot = hist.agg(
+        sum(col("cnt") * col("nk")).as("n_rows"), sum(col("nk")).as("n_keys"),
         max(col("cnt")).as("max_cnt"))
       val cum = hist.withColumn("cum",
         sum(col("nk")).over(Window.orderBy(col("cnt"))

@@ -58,7 +58,12 @@ class PlanSpec extends SparkTestBase {
       "t34_weighted_sample" -> 1, "q55_assoc" -> 1,
       "t35_containment" -> 1, "q56_auc" -> 1,
       "t36_dup_spans" -> 2, // honest two-pass: window index, then flag
-      "t37_despanned" -> 3) // t36's two passes + the apply join back
+      "t37_despanned" -> 3, // t36's two passes + the apply join back
+      "q57_ancestors" -> 1, // closure doubles over checkpointed frames
+      "t38_domain_mix" -> 1, // totals are window sums over the G-row frame
+      "t40_bpe_step" -> 1,
+      "q58_skew_profile" -> 1, // totals derive from the checkpointed hist
+      "t39_best_rep" -> 2) // shingle pass + pruned (doc_id,n_chars) pass
     gates.foreach { case (q, maxPerFile) =>
       val df = SparkEntry.queries(q)(spark, sfUnit)
       df.collect()
@@ -67,6 +72,12 @@ class PlanSpec extends SparkTestBase {
         s"$q live scans $scans exceed $maxPerFile per file")
       spark.catalog.clearCache()
     }
+  }
+
+  test("bpe-step top pairs plan TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("t40_bpe_step")(spark, sfUnit)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("rrf cuts each ranker with a heap before the rank window") {

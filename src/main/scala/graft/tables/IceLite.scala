@@ -32,6 +32,13 @@ import scala.jdk.CollectionConverters._
   * copy-on-write shape; at 10^12 docs a micro-batch commit is O(touched
   * buckets), not O(table). Unbucketed tables (numBuckets = 0) keep the
   * simple whole-table copy-on-write.
+  *
+  * Schema evolution (ADD COLUMN, Iceberg-style): each commit stamps its
+  * schema into _meta/schema.v<id>.json; a merge/append whose source
+  * carries new columns widens the schema, untouched data dirs are NOT
+  * rewritten (the reader backfills nulls by-name under the snapshot
+  * schema), and time travel sees each snapshot under the schema it was
+  * committed with. Type changes and renames are rejected loudly.
   */
 final case class IceLite(root: String, numBuckets: Int = 0,
                          bucketKeys: Seq[String] = Nil) {
@@ -113,11 +120,21 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     * yet swapped remains undetectable without a lock server — documented
     * limit, same window real Iceberg closes with a catalog CAS.
     */
-  private def commit(entries: Seq[(Int, String)], stampProps: Boolean = false): Int = {
+  private def commit(entries: Seq[(Int, String)], stampProps: Boolean = false,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     Files.createDirectories(meta)
     if (!Files.exists(propsFile) && (stampProps || !exists))
       Files.writeString(propsFile, specString)
     val next = latestSnapshot.getOrElse(0) + 1
+    // schema metadata rides the commit (Iceberg: schema lives in table
+    // metadata, not in data-file footers): written BEFORE the manifest,
+    // so a crash leaves at worst an orphan schema file and a logically
+    // unchanged table. Fields stored nullable — an evolved column is
+    // null for every row written before it existed.
+    schema.foreach { s =>
+      Files.writeString(meta.resolve(s"schema.v$next.json"),
+        asNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType].json)
+    }
     val dirs = entries.map { case (b, d) => if (b < 0) d else s"b$b:$d" }
     val json = dirs.map(d => "\"" + d + "\"").mkString(s"""{"id":$next,"dirs":[""", ",", "]}")
     val mf = meta.resolve(s"v$next.json")
@@ -143,12 +160,82 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     s"data/s$id"
   }
 
+  /** The schema recorded with snapshot `id`, if the commit stamped one
+    * (commits predating schema tracking read with footer inference, as
+    * before).
+    */
+  def schemaOf(id: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val f = meta.resolve(s"schema.v$id.json")
+    if (!Files.exists(f)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Nullability-normalized copy of a type, recursively (a Dataset
+    * derived from case classes carries non-null primitives where the
+    * same data read back from parquet is nullable — not a schema
+    * difference).
+    */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(asNullable(m.keyType), asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** Union of the table's current schema and `src`'s: existing columns
+    * keep their position and type, brand-new columns append. Same-name
+    * columns must agree on type up to nullability — ADD COLUMN is the
+    * only evolution supported (no type widening/renames; fail loudly
+    * rather than coerce).
+    */
+  private def evolvedSchema(spark: SparkSession,
+                            src: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    val base = latestSnapshot.flatMap(schemaOf)
+      .orElse(read(spark).map(_.schema))
+      .getOrElse(return src)
+    base.fields.foreach { f =>
+      src.fields.find(_.name == f.name).foreach { g =>
+        require(asNullable(g.dataType) == asNullable(f.dataType),
+          s"column ${f.name} of table $root: type ${f.dataType} cannot evolve to ${g.dataType}")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      base.fields ++ src.fields.filterNot(f => base.fieldNames.contains(f.name)))
+  }
+
+  /** Project df onto `schema`: present columns pass through, absent ones
+    * become typed nulls (the read-side backfill, applied on the write
+    * side so every data file of one commit shares one column set).
+    */
+  private def conform(df: DataFrame,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   /** Read a specific snapshot (time travel). */
   def readSnapshot(spark: SparkSession, id: Int): DataFrame = {
     val dirs = manifestDirs(id).map(d => s"$root/$d")
     if (dirs.isEmpty)
       throw new IllegalStateException(s"snapshot $id of $root is empty")
-    spark.read.parquet(dirs: _*)
+    // snapshot-pinned schema (time travel sees the schema AS OF the
+    // snapshot): Spark's parquet reader resolves columns by name per
+    // file, so data dirs written before an ADD COLUMN read as null in
+    // that column — no footer-merge pass (mergeSchema), no rewrite of
+    // untouched buckets.
+    schemaOf(id) match {
+      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    }
   }
 
   /** Read the latest snapshot; None if the table was never written. */
@@ -189,26 +276,36 @@ final case class IceLite(root: String, numBuckets: Int = 0,
       .toSeq)
   }
 
-  /** Append rows as a new snapshot (previous data dirs stay live). */
+  /** Append rows as a new snapshot (previous data dirs stay live). A
+    * source carrying NEW columns evolves the table schema (ADD COLUMN:
+    * rows in untouched dirs read as null in the new column); a source
+    * MISSING existing columns appends typed nulls for them.
+    */
   def append(df: DataFrame): Int = {
+    val evolved = evolvedSchema(df.sparkSession, df.schema)
+    val out = conform(df, evolved)
     val dir = newDataDir()
     val prev = latestSnapshot.map(manifestEntries).getOrElse(Seq.empty)
-    if (bucketed) commit(prev ++ writeBuckets(df, dir))
+    if (bucketed) commit(prev ++ writeBuckets(out, dir), schema = Some(evolved))
     else {
-      df.write.mode("overwrite").parquet(s"$root/$dir")
-      commit(prev :+ ((-1, dir)))
+      out.write.mode("overwrite").parquet(s"$root/$dir")
+      commit(prev :+ ((-1, dir)), schema = Some(evolved))
     }
   }
 
-  /** Replace the whole table content with df (new snapshot). */
+  /** Replace the whole table content with df (new snapshot). The schema
+    * becomes df's outright — a full rewrite may also DROP columns.
+    */
   def overwrite(df: DataFrame): Int = overwrite(df, Nil)
 
   private def overwrite(df: DataFrame, sortBy: Seq[String]): Int = {
     val dir = newDataDir()
-    if (bucketed) commit(writeBuckets(df, dir, sortBy), stampProps = true)
+    if (bucketed)
+      commit(writeBuckets(df, dir, sortBy), stampProps = true,
+        schema = Some(df.schema))
     else {
       df.write.mode("overwrite").parquet(s"$root/$dir")
-      commit(Seq((-1, dir)), stampProps = true)
+      commit(Seq((-1, dir)), stampProps = true, schema = Some(df.schema))
     }
   }
 
@@ -240,6 +337,7 @@ final case class IceLite(root: String, numBuckets: Int = 0,
       case Some(_) if bucketed =>
         require(bucketKeys.forall(keys.contains),
           s"bucket keys $bucketKeys must be a subset of merge keys $keys")
+        val evolved = evolvedSchema(spark, source.schema)
         val entries = manifestEntries(latestSnapshot.get)
         val srcB = source.withColumn("_b", bucketCol).cache()
         val touched = srcB.select("_b").distinct().collect().map(_.getInt(0)).toSet
@@ -251,24 +349,31 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         val legacy = !Files.exists(propsFile)
         val (touchedEntries, untouchedEntries) =
           entries.partition { case (b, _) => legacy || b < 0 || touched.contains(b) }
+        // touched dirs may predate an earlier ADD COLUMN: read them under
+        // the SNAPSHOT schema so the rewrite backfills, same as the reader
+        val rd = schemaOf(latestSnapshot.get)
+          .map(spark.read.schema).getOrElse(spark.read)
         val oldTouched: Option[DataFrame] =
           if (touchedEntries.isEmpty) None
-          else Some(spark.read.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
-        val srcPlain = srcB.drop("_b")
+          else Some(rd.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
+        val srcPlain = conform(srcB.drop("_b"), evolved)
         val merged = oldTouched match {
           case None => srcPlain
           case Some(old) =>
-            old.join(srcPlain.select(keys.map(col): _*).distinct(), keys, "left_anti")
-              .unionByName(srcPlain.select(old.columns.map(col): _*))
+            conform(old, evolved)
+              .join(srcPlain.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .unionByName(srcPlain)
         }
         val dir = newDataDir()
         val written = writeBuckets(merged, dir)
         srcB.unpersist()
-        commit(untouchedEntries ++ written, stampProps = legacy)
+        commit(untouchedEntries ++ written, stampProps = legacy,
+          schema = Some(evolved))
       case Some(target) =>
+        val evolved = evolvedSchema(spark, source.schema)
         val kept = target.join(
           source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        overwrite(kept.unionByName(source.select(target.columns.map(col): _*)))
+        overwrite(conform(kept, evolved).unionByName(conform(source, evolved)))
     }
 
   /** Atomic slice replacement in ONE commit: target rows whose key tuple
@@ -293,6 +398,7 @@ final case class IceLite(root: String, numBuckets: Int = 0,
       case Some(_) if bucketed =>
         require(bucketKeys.forall(keyCols.contains),
           s"bucket keys $bucketKeys must be a subset of delKeys columns $keyCols")
+        val evolved = evolvedSchema(spark, source.schema)
         val entries = manifestEntries(latestSnapshot.get)
         val keysB = delKeys.unionByName(source.select(keyCols.map(col): _*))
           .distinct().withColumn("_b", bucketCol).cache()
@@ -303,23 +409,27 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         val legacy = !Files.exists(propsFile)
         val (touchedEntries, untouchedEntries) =
           entries.partition { case (b, _) => legacy || b < 0 || touched.contains(b) }
+        val rd = schemaOf(latestSnapshot.get)
+          .map(spark.read.schema).getOrElse(spark.read)
         val oldTouched: Option[DataFrame] =
           if (touchedEntries.isEmpty) None
-          else Some(spark.read.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
+          else Some(rd.parquet(touchedEntries.map(e => s"$root/${e._2}"): _*))
         val merged = oldTouched match {
-          case None => source
+          case None => conform(source, evolved)
           case Some(old) =>
-            old.join(keysB.drop("_b"), keyCols, "left_anti")
-              .unionByName(source.select(old.columns.map(col): _*))
+            conform(old, evolved).join(keysB.drop("_b"), keyCols, "left_anti")
+              .unionByName(conform(source, evolved))
         }
         val dir = newDataDir()
         val written = writeBuckets(merged, dir)
         keysB.unpersist()
-        commit(untouchedEntries ++ written, stampProps = legacy)
+        commit(untouchedEntries ++ written, stampProps = legacy,
+          schema = Some(evolved))
       case Some(target) =>
+        val evolved = evolvedSchema(spark, source.schema)
         val allKeys = delKeys.unionByName(source.select(keyCols.map(col): _*)).distinct()
         val kept = target.join(allKeys, keyCols, "left_anti")
-        overwrite(kept.unionByName(source.select(target.columns.map(col): _*)))
+        overwrite(conform(kept, evolved).unionByName(conform(source, evolved)))
     }
   }
 
@@ -375,7 +485,10 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     if (expired.nonEmpty) {
       val keptDirs = kept.flatMap(manifestDirs).toSet
       val deadDirs = expired.flatMap(manifestDirs).toSet -- keptDirs
-      expired.foreach(id => Files.deleteIfExists(meta.resolve(s"v$id.json")))
+      expired.foreach { id =>
+        Files.deleteIfExists(meta.resolve(s"v$id.json"))
+        Files.deleteIfExists(meta.resolve(s"schema.v$id.json"))
+      }
       deadDirs.foreach(d => deleteTree(Paths.get(root, d)))
       // bucketed leaves leave their data/s<id> parent behind when every
       // sibling bucket is dead — remove now-empty parents

@@ -22,6 +22,50 @@ class IceLiteSpec extends SparkTestBase {
     assert(t.snapshots == Seq(1, 2, 3))
   }
 
+  test("ADD COLUMN evolution: merge widens, reader backfills, time travel pins") {
+    val t = IceLite(tmp())
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // source carries a NEW column: schema widens, matched row updated
+    t.mergeInto(spark, Seq((2, "B", 7L), (3, "C", 9L)).toDF("id", "v", "score"),
+      Seq("id"))
+    val cur = t.read(spark).get
+    assert(cur.columns.toSeq == Seq("id", "v", "score"))
+    val byId = cur.collect().map(r => r.getInt(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // pre-evolution row 1 reads null in the new column; merged rows carry it
+    assert(byId == Map(1 -> (("a", None)), 2 -> (("B", Some(7L))),
+      3 -> (("C", Some(9L)))))
+    // time travel: snapshot 1 still reads under ITS schema (no score)
+    assert(t.readSnapshot(spark, 1).columns.toSeq == Seq("id", "v"))
+    // a later source MISSING the evolved column merges as null, not a crash
+    t.mergeInto(spark, Seq((4, "d")).toDF("id", "v"), Seq("id"))
+    val r4 = t.read(spark).get.filter(col("id") === 4).collect()(0)
+    assert(r4.getString(1) == "d" && r4.isNullAt(2))
+    // type evolution is rejected loudly
+    val bad = intercept[IllegalArgumentException] {
+      t.mergeInto(spark, Seq((5, 1.0)).toDF("id", "v"), Seq("id"))
+    }
+    assert(bad.getMessage.contains("cannot evolve"))
+  }
+
+  test("ADD COLUMN evolution on a bucketed table leaves untouched buckets unrewritten") {
+    val t = IceLite(tmp(), numBuckets = 4, bucketKeys = Seq("id"))
+    t.overwrite((1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val before = t.read(spark).get.inputFiles.toSet
+    // evolve via a single-key merge: only that key's bucket is rewritten
+    t.mergeInto(spark, Seq((7L, "V7", 0.5)).toDF("id", "v", "w"), Seq("id"))
+    val after = t.read(spark).get
+    assert(after.columns.toSeq == Seq("id", "v", "w"))
+    // untouched buckets' files survive verbatim AND read with a null w
+    assert((before intersect after.inputFiles.toSet).nonEmpty)
+    assert(after.filter(col("id") === 8).collect()(0).isNullAt(2))
+    assert(after.filter(col("id") === 7).collect()(0).getDouble(2) == 0.5)
+    assert(after.count() == 40)
+    // append with the old narrow shape also backfills
+    t.append(Seq((41L, "v41")).toDF("id", "v"))
+    assert(t.read(spark).get.count() == 41)
+  }
+
   test("mergeInto upserts by key and is idempotent") {
     val t = IceLite(tmp())
     t.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"))

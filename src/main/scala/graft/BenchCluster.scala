@@ -151,8 +151,21 @@ object BenchCluster {
       // rows); with the default 1:2 ratio survivors overflow into the
       // old gen and a 480k-doc run measured 224 core-s of GC in ONE
       // checkpoint stage (30% of its run time).
+      // Pre-fault the WHOLE heap at executor launch (-Xms=-Xmx +
+      // AlwaysPreTouch): this host provisions fresh anonymous pages
+      // slowly under co-tenant demand (BENCH.md pathology section), and
+      // lazy heap growth pays that cost INSIDE the measured main pass —
+      // the 4N level faults ~4x the pages and absorbs a kernel-time
+      // penalty the 1-executor level never sees (every 8/20 ladder L4
+      // carried sys 0.26-0.94x user while L1 ran clean). Pre-touch moves
+      // all heap faulting into cluster start, which the fault probe
+      // gates and the ladder does not time. Real clusters run
+      // AlwaysPreTouch for the same reason (page-fault-free steady
+      // state); build.sbt's Xms warning is about the DRIVER/sbt JVM,
+      // whose startup is inside measured wall time.
       .config("spark.executor.extraJavaOptions",
         s"-XX:+UseParallelGC -XX:ActiveProcessorCount=$coresPer -XX:NewRatio=1 " +
+          s"-Xms${execMemG}g -XX:+AlwaysPreTouch " +
           sys.env.getOrElse("SPARK_GRAFT_EXEC_OPTS", ""))
       // Loopback cluster: a "remote" fetch costs microseconds, so never
       // hold a task back waiting for block locality (the default 3s

@@ -180,6 +180,13 @@ object BenchCluster {
       // on remote checkpoint reads.
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.rdd.compress", "true")
+      // zstd over the default lz4 for shuffle/RDD blocks: ~2x fewer
+      // bytes written means ~2x fewer FRESH tmpfs pages per level — on
+      // this host fresh-page provisioning is the 4N level's bottleneck
+      // (BENCH.md pathology), so compression ratio buys kernel time, not
+      // just I/O. The compression CPU itself stays in user time where
+      // the executors have idle headroom.
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.jars", appJar)
       // long stop-the-world pauses + a busy driver must not get an
       // executor (and its lineage-truncated checkpoint blocks) removed

@@ -276,6 +276,9 @@ object Bench {
     // level ran against co-tenant CPU contention (a failure mode the
     // sys/steal split misses when the neighbors burn plain user time)
     val levelContended = scala.collection.mutable.Map.empty[Int, Boolean]
+    // observed warmup wall per level, for pricing a retry of that level
+    // (fresh executor JVMs pay JIT + heap pre-touch on every attempt)
+    val levelWarmups = scala.collection.mutable.Map.empty[Int, Double]
     // set where loadBaseline is captured (ladder start): a 1-min loadavg
     // already above the quiet gate BEFORE any level has run is genuine
     // co-tenant load — the baseline+0.5 gate adaptation exists only to
@@ -285,6 +288,13 @@ object Bench {
     // eff 0.69 vs the 0.96 quiet-window truth — and NOT marked degraded)
     var baselineContended = false
     @volatile var abortedBy: Option[String] = None
+    // Set while an OPTIONAL phase (a pair-improving retry) is running.
+    // If the wall-budget watchdog fires inside one, the run is NOT
+    // aborted — every piece of required evidence (the primary pair and
+    // the query table) already landed; the watchdog just clips the
+    // retry and emits a COMPLETE artifact with the clip recorded.
+    @volatile var optionalPhase: Option[String] = None
+    @volatile var clippedOptional: Option[String] = None
     // set when the warmup circuit-breaker trips (degraded host): the
     // remaining ladder levels are skipped so the queries still land
     @volatile var ladderAborted: Option[String] = None
@@ -404,7 +414,8 @@ object Bench {
             f"""{"level":$l,"mbps":$v%.0f}""" }.mkString(",")}],""" +
           s""""host_degraded":$degraded,"primary_pair":"$pairDesc"$effJson}"""
       val aborted = abortedBy.map(a => s""","aborted":"$a"""").getOrElse("") +
-        ladderAborted.map(a => s""","ladder_aborted":"$a"""").getOrElse("")
+        ladderAborted.map(a => s""","ladder_aborted":"$a"""").getOrElse("") +
+        clippedOptional.map(c => s""","clipped_optional":"$c"""").getOrElse("")
       // queries_degraded is a one-glance verdict on the KEPT table: true
       // only when EVERY pass ran storm-bound (a single healthy pass makes
       // the per-query minimums trustworthy). queries_provenance labels a
@@ -445,11 +456,16 @@ object Bench {
       val ok = try { Thread.sleep(wallBudgetS * 1000L); true }
                catch { case _: InterruptedException => false }
       if (ok) {
-        abortedBy = Some("wall_budget")
+        // firing inside an OPTIONAL phase is not an abort: the pair and
+        // query table are already flushed; record the clip and emit the
+        // artifact as complete (the in-flight retry dies with the halt)
+        val clipped = optionalPhase
+        if (clipped.isDefined) clippedOptional = clipped
+        else abortedBy = Some("wall_budget")
         // belt-and-braces: NOTHING on this path may prevent the teardown
         // + exit-0 — an exception here orphans a multi-GiB cluster AND
         // turns the abort into a driver-side rc=124 with no artifact
-        try emitFinal(buildJson(false))
+        try emitFinal(buildJson(clipped.isDefined))
         catch { case t: Throwable =>
           emitFinal(s"""{"metric":"total","value":0,"unit":"sec",""" +
             s""""complete":false,"aborted":"wall_budget_emit_failed:${t.getClass.getSimpleName}"}""")
@@ -562,6 +578,12 @@ object Bench {
     // finishing it would starve the query table of wall budget
     val mainLimitS =
       sys.env.getOrElse("SPARK_GRAFT_MAIN_LIMIT_S", "330").toInt
+    // RETRY attempts get tighter breakers: min-of-N keeps only attempts
+    // that beat the current minimum, so an attempt running past ~1.2x
+    // the kept wall cannot improve the pair — cut it off and return the
+    // wall budget instead of burning up to mainLimitS on a storm.
+    @volatile var retryWarmupCapS: Option[Int] = None
+    @volatile var retryMainCapS: Option[Int] = None
     /** Run one ladder job with a hard deadline: a timer thread cancels
       * all Spark jobs at the limit and the abort surfaces as
       * [[HostTooSlow]]. Measuring after the fact is NOT enough — in the
@@ -608,11 +630,14 @@ object Bench {
     }
     def timedLevel(s: SparkSession, l: Int): (Double, Long, Long) = {
       // warm-up pass at tiny scale so codegen/classloading is excluded
-      guarded(s, s"L$l warmup", warmupLimitS)(
+      val w0 = System.nanoTime()
+      guarded(s, s"L$l warmup", retryWarmupCapS.getOrElse(warmupLimitS))(
         kbJob(s, sfDir.replace("sf0.1", "sf0.001"), 1))
+      levelWarmups(l) = (System.nanoTime() - w0) / 1e9
       val t0 = System.nanoTime()
       val (docs, triples) =
-        guarded(s, s"L$l main", mainLimitS)(kbJob(s, sfDir, replicate))
+        guarded(s, s"L$l main", retryMainCapS.getOrElse(mainLimitS))(
+          kbJob(s, sfDir, replicate))
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, docs, triples)
     }
@@ -730,8 +755,20 @@ object Bench {
         if (mode == "threads") "2,8,32" else "4,1")
       .split(",").map(_.trim.toInt).toSeq
     val levelsSorted = levels.sorted
-    def runLevel(l: Int): Unit = if (ladderAborted.isEmpty) {
-      val quiet = awaitQuiet(l)
+    def runLevel(l: Int, retry: Boolean = false): Unit =
+        if (ladderAborted.isEmpty) {
+      // retries are opportunistic: don't SPEND quiet-wait budget on them
+      // (the hostHealthy fault probe already gated the attempt; waiting
+      // here mostly measures our OWN just-finished phases' decaying
+      // loadavg and once ate 75 s before a retry that then aborted) —
+      // but still RECORD whether the attempt started quiet, since a kept
+      // contended attempt must still mark the run degraded
+      val quiet =
+        if (retry) {
+          val l1 = load1
+          loadSeen += ((l, l1))
+          l1 <= math.max(quietLoad, loadBaseline + 0.5)
+        } else awaitQuiet(l)
       val fault = probeFaultMBps()
       faultSeen += ((l, fault))
       println(f"[bench] L$l host_fault_mbps=$fault%.0f")
@@ -757,15 +794,32 @@ object Bench {
           // = 5:1 — short bursts refill from the ready pool, sustained
           // multi-GiB working sets drain it). Record the warmup's OWN
           // CPU split in the marker so the artifact self-diagnoses.
+          // A RETRY of an already-completed level is different: the pair
+          // is intact, so a storm costs only that attempt — aborting the
+          // ladder here stamped an otherwise-complete 2026-08-20 run
+          // "ladder_aborted" and blocked its remaining retry budget.
           val d = hostCpu().zip(c0).map { case (a, b) => (a - b) / 100.0 }
-          ladderAborted = Some(f"degraded_host:warmup_${h.sec}%.0fs" +
-            f"_user${d(0)}%.0f_sys${d(2)}%.0f_steal${d(7)}%.0f")
-          println(s"[bench] L$l ladder-abort: ${ladderAborted.get}")
+          val marker = f"degraded_host:warmup_${h.sec}%.0fs" +
+            f"_user${d(0)}%.0f_sys${d(2)}%.0f_steal${d(7)}%.0f"
+          if (levelResults.contains(l))
+            println(s"[bench] L$l retry storm-bound ($marker); " +
+              "keeping the completed attempt")
+          else {
+            ladderAborted = Some(marker)
+            println(s"[bench] L$l ladder-abort: $marker")
+          }
         case t: Throwable =>
           // a broken level (cluster-start failure, driver OOM) must not
-          // cost the query table — skip the ladder, keep going
-          ladderAborted = Some(s"level_failed:${t.getClass.getSimpleName}")
-          println(s"[bench] L$l ladder-abort: ${ladderAborted.get}: ${t.getMessage}")
+          // cost the query table — skip the ladder, keep going; as above,
+          // a failed RETRY leaves the completed pair standing
+          if (levelResults.contains(l))
+            println(s"[bench] L$l retry failed " +
+              s"(${t.getClass.getSimpleName}: ${t.getMessage}); " +
+              "keeping the completed attempt")
+          else {
+            ladderAborted = Some(s"level_failed:${t.getClass.getSimpleName}")
+            println(s"[bench] L$l ladder-abort: ${ladderAborted.get}: ${t.getMessage}")
+          }
       }
       flush()
     }
@@ -775,7 +829,7 @@ object Bench {
     // previously killed main with no stdout JSON line — the driver then
     // records parsed:null even though per-phase flushes hit the file.
     try {
-    (1 to reps).foreach(_ => levels.foreach(runLevel))
+    (1 to reps).foreach(_ => levels.foreach(l => runLevel(l)))
     // queries land BEFORE any retry spends wall-clock: the primary pair
     // + query table are the round's evidence; retries only improve it.
     runQueries()
@@ -790,7 +844,7 @@ object Bench {
       println(f"[bench] ladder second-chance gate host_fault_mbps=$f%.0f")
       if (f > 300) {
         ladderAborted = None
-        levels.foreach(runLevel)
+        levels.foreach(l => runLevel(l))
       }
     }
     // Noise-shortfall retry. The host's co-tenant bursts swing identical
@@ -805,15 +859,32 @@ object Bench {
     // bounded by a deadline so the default invocation can never outlive
     // the driver timeout (the r2 lesson); the big level only retries
     // while plenty of time remains since it costs ~2x the small one.
-    // retries must leave room for a full big-level rerun + final emit
-    // before the wall-budget watchdog fires, or they add nothing and
-    // mark an otherwise-complete run aborted
+    // Retry admission is VICTIM-AWARE, priced from this run's own walls:
+    // expected cost = cluster start + the level's observed warmup (new
+    // executor JVMs re-JIT and re-pre-touch every time) + a main capped
+    // at 1.2x the kept minimum (slower cannot improve min-of-N) + emit
+    // slack. The old flat deadline (budget - 260 s) priced every retry
+    // as a worst-case SMALL-level cycle, which priced the default 545 s
+    // run out of the one big-level retry it could afford — and the
+    // 2026-08-20 attempt-wall series (74.9 -> 48.3 -> 38.5 s) shows the
+    // second big-level attempt is exactly where the healthy pair lands.
+    // If the host storms mid-retry anyway, the tight caps bound the
+    // overrun and the watchdog clips only the OPTIONAL phase (see
+    // optionalPhase below) — required evidence has already landed.
     val retryDeadlineS = sys.env.get("SPARK_GRAFT_RETRY_DEADLINE_S")
-      .map(_.toInt).getOrElse(math.max(0, wallBudgetS - 260))
+      .map(_.toInt).getOrElse(math.max(0, wallBudgetS - 40))
     val retryTarget =
       sys.env.getOrElse("SPARK_GRAFT_RETRY_BELOW_EFF", "0.85").toDouble
     def elapsedS = (System.nanoTime() - mainStart) / 1e9
     def tput(l: Int) = levelResults(l)._2 / levelResults(l)._1
+    def retryMainCap(l: Int): Int =
+      math.max(60, (1.2 * levelWalls(l).min).toInt)
+    // EXPECTED cost, not worst-case: an overrunning retry is clipped by
+    // the watchdog as an optional phase (complete artifact, clip
+    // recorded), so admission only needs the retry to be LIKELY to fit
+    def retryCostS(l: Int): Int =
+      10 + levelWarmups.get(l).map(_.toInt).getOrElse(warmupLimitS) +
+        levelWalls(l).min.toInt
     for ((a, b) <- levelsSorted.zip(levelsSorted.drop(1))
            .filter { case (x, y) =>
              // only retry a pair BOTH of whose levels completed (the
@@ -836,8 +907,19 @@ object Bench {
         // burst victim = lower per-core throughput; ties favor the
         // cheaper (big-parallelism) level
         val victim = if (tput(a) / a.toDouble < tput(b) / b.toDouble) a else b
-        if (victim == a && elapsedS > retryDeadlineS - 130) tries = 3
-        else runLevel(victim)
+        if (elapsedS + retryCostS(victim) > retryDeadlineS) tries = 3
+        else {
+          retryWarmupCapS = Some(math.min(warmupLimitS,
+            levelWarmups.get(victim).map(w => (1.3 * w).toInt + 5)
+              .getOrElse(warmupLimitS)))
+          retryMainCapS = Some(retryMainCap(victim))
+          optionalPhase = Some(s"retry_L$victim")
+          try runLevel(victim, retry = true)
+          finally {
+            retryWarmupCapS = None; retryMainCapS = None
+            optionalPhase = None
+          }
+        }
       }
     }
     // Second-chance queries: if EVERY pass so far ran storm-bound (the
@@ -852,7 +934,10 @@ object Bench {
         (System.nanoTime() - mainStart) / 1e9 < wallBudgetS - 150) {
       val f = probeFaultMBps()
       println(f"[bench] queries second-chance gate host_fault_mbps=$f%.0f")
-      if (f > 300) runQueries()
+      if (f > 300) {
+        optionalPhase = Some("queries_second_chance")
+        try runQueries() finally optionalPhase = None
+      }
     }
     emitFinal(buildJson(true))
     } catch { case t: Throwable =>

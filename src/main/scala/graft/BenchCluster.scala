@@ -192,6 +192,22 @@ object BenchCluster {
       // executor (and its lineage-truncated checkpoint blocks) removed
       .config("spark.network.timeout", "300s")
       .config("spark.executor.heartbeatInterval", "30s")
+      // A co-tenant storm can wedge one executor into orderly shutdown
+      // (heartbeat loss) while its queued tasks are still being offered
+      // to it; with the default 4 task failures the whole LEVEL dies on
+      // one sick executor (observed 2026-08-20: L1 lost to 4x
+      // RejectedExecutionException from a single shutting-down pool).
+      // Tolerate more failures and stop offering work to an executor
+      // that just failed — the master relaunches a replacement anyway.
+      .config("spark.task.maxFailures", "10")
+      // exclusion only helps when another executor can take the work; on
+      // a 1-executor level it would starve the app until the exclusion
+      // timeout. Short timeout: the sick executor is usually already
+      // being replaced by the master.
+      .config("spark.excludeOnFailure.enabled", (workers > 1).toString)
+      .config("spark.excludeOnFailure.timeout", "60s")
+      .config("spark.excludeOnFailure.task.maxTaskAttemptsPerExecutor", "2")
+      .config("spark.excludeOnFailure.application.maxFailedTasksPerExecutor", "4")
       .config("spark.sql.shuffle.partitions", Bench.scaleParts.toString)
       // take(n) defaults to an incremental partition scan (1, 4, 16, ...
       // partitions = one sequential JOB each). The pipeline's two guard

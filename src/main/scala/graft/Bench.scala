@@ -686,7 +686,20 @@ object Bench {
     // carries OUR OWN just-finished run (the first trimmed default run
     // burned ~75 s waiting for its own decaying load); only wait when
     // load clearly exceeds what the box showed before we did anything.
-    val loadBaseline = load1
+    // The baseline read itself needs a bounded settle: loadavg(1m) still
+    // carries THIS process's sbt/compile/startup burst (and any work the
+    // operator ran just before, e.g. a Verify pass) for ~60-90 s. A
+    // polluted baseline both raises every later quiet gate AND stamps
+    // the whole run host_degraded before any level has run (2026-08-20:
+    // baseline 4.51 from a Verify that finished seconds earlier).
+    val loadBaseline = {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      var l = load1
+      while (l > quietLoad && System.nanoTime() < deadline) {
+        Thread.sleep(10000); l = load1
+      }
+      l
+    }
     baselineContended = loadBaseline > quietLoad
     if (baselineContended)
       println(f"[bench] ladder baseline load=$loadBaseline%.2f > quiet " +

@@ -26,7 +26,10 @@ import graft.tables.IceLite
   *   P11 annset rename on save (pipelinehelper/main.py:151-163)
   */
 final case class DocumentStore(spark: SparkSession, root: String) {
-  val table = IceLite(s"$root/doc_store")
+  // bucketed on doc_id: upserts rewrite only touched buckets and
+  // getById plans 1/16 of the table's files (IceLite.readKeyed) — at
+  // KB scale the point-read cost is file LISTING, not row filtering
+  val table = IceLite(s"$root/doc_store", 16, Seq("doc_id"))
 
   /** S2: whole-row upsert keyed by doc_id. */
   def upsert(docs: DataFrame): Unit =
@@ -52,8 +55,7 @@ final case class DocumentStore(spark: SparkSession, root: String) {
     * defaulted to text[start:end] (end-exclusive offsets).
     */
   def getById(docId: String): DataFrame =
-    table.read(spark).get
-      .filter(col("doc_id") === docId)
+    table.readKeyed(spark, Seq(docId)).get
       .withColumn("annsets", transform(col("annsets"), as =>
         as.withField("annotations",
           transform(

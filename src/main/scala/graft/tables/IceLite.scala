@@ -242,6 +242,58 @@ final case class IceLite(root: String, numBuckets: Int = 0,
   def read(spark: SparkSession): Option[DataFrame] =
     latestSnapshot.map(readSnapshot(spark, _))
 
+  /** Driver-side bucket id of a key tuple — agrees bit-for-bit with
+    * [[bucketCol]] (same Murmur3 seed 42 the `hash()` function uses;
+    * asserted in IceLiteSpec against the executor-side column). None on
+    * unbucketed tables.
+    */
+  def bucketFor(keyVals: Seq[Any]): Option[Int] =
+    if (!bucketed) None
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+      val h = new Murmur3Hash(keyVals.map(Literal(_)))
+      Some(Pmod(h, Literal(numBuckets)).eval(null).asInstanceOf[Int])
+    }
+
+  /** Bucket-pruned point read (the Iceberg partition-pruning shape):
+    * rows of the LATEST snapshot whose bucket-key tuple equals
+    * `keyVals`, listing ONLY the matching bucket's data dirs from the
+    * manifest — at 10^12 docs a doc_id lookup plans 1/numBuckets of the
+    * table's files instead of enumerating all of them (file listing,
+    * not just row filtering, is the scale cost of a point read).
+    * Legacy unbucketed entries (bucket -1) may hold any key and are
+    * always included, mirroring mergeInto's always-touched rule.
+    * Bucketed tables only (an unbucketed manifest has nothing to prune
+    * by — callers there read + filter themselves). None if the table
+    * was never written.
+    */
+  def readKeyed(spark: SparkSession, keyVals: Seq[Any]): Option[DataFrame] = {
+    require(bucketed, s"readKeyed needs a bucketed table: $root")
+    require(keyVals.length == bucketKeys.length,
+      s"readKeyed wants ${bucketKeys.length} key values, got ${keyVals.length}")
+    latestSnapshot.map { id =>
+      val keyFilter = bucketKeys.zip(keyVals)
+        .map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _)
+      val b = bucketFor(keyVals).get
+      val dirs = manifestEntries(id).collect {
+        case (bk, d) if bk == b || bk == -1 => s"$root/$d"
+      }
+      val schema = schemaOf(id)
+      if (dirs.nonEmpty)
+        schema.map(s => spark.read.schema(s).parquet(dirs: _*))
+          .getOrElse(spark.read.parquet(dirs: _*))
+          .filter(keyFilter)
+      else schema match {
+        // bucket never written: statically empty under the snapshot
+        // schema, no scan at all
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => readSnapshot(spark, id).filter(keyFilter)
+      }
+    }
+  }
+
   /** Read latest or an empty frame with the given schema. */
   def readOrEmpty(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =
     read(spark).getOrElse(

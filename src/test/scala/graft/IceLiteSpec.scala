@@ -327,4 +327,66 @@ class IceLiteSpec extends SparkTestBase {
     t.append(Seq((4, "d")).toDF("id", "v"))
     assert(t.latestSnapshot.contains(4))
   }
+
+  test("bucketFor agrees bit-for-bit with the executor-side bucket column") {
+    val t = IceLite(tmp(), 16, Seq("k"))
+    val keys = Seq("", "a", "doc-42", "ünïcode", "x" * 500)
+    val execSide = keys.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(16)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    keys.foreach { k =>
+      assert(t.bucketFor(Seq(k)).contains(execSide(k)),
+        s"driver/executor bucket disagreement for '$k'")
+    }
+    // multi-column + non-string keys
+    val t2 = IceLite(tmp(), 8, Seq("a", "b"))
+    val tuples = Seq((1, "x"), (7, "y"), (-3, ""))
+    val exec2 = tuples.toDF("a", "b")
+      .select(col("a"), col("b"), pmod(hash(col("a"), col("b")), lit(8)).as("bk"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getInt(2)).toMap
+    tuples.foreach { case (a, b) =>
+      assert(t2.bucketFor(Seq(a, b)).contains(exec2((a, b))))
+    }
+    assert(IceLite(tmp()).bucketFor(Seq("x")).isEmpty)
+  }
+
+  test("readKeyed prunes to one bucket's files and matches a full-scan filter") {
+    val t = IceLite(tmp(), 8, Seq("doc_id"))
+    val docs = (0 until 64).map(i => (s"doc$i", i)).toDF("doc_id", "n")
+    t.append(docs)
+    t.mergeInto(spark, Seq(("doc7", 700)).toDF("doc_id", "n"), Seq("doc_id"))
+    for (probe <- Seq("doc7", "doc31", "nosuchdoc")) {
+      val pruned = t.readKeyed(spark, Seq(probe)).get
+      val full = t.read(spark).get.filter(col("doc_id") === probe)
+      assert(pruned.collect().toSet == full.collect().toSet, s"rows for $probe")
+      // every file the pruned read touches lives under the key's bucket leaf
+      val b = t.bucketFor(Seq(probe)).get
+      val files = t.readKeyed(spark, Seq(probe)).get
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(files.forall(_.contains(s"_b=$b/")),
+        s"unpruned file in plan for $probe: ${files.mkString(",")}")
+    }
+    // never-written bucket of a bucketed-but-sparse table: empty, no scan
+    val sparse = IceLite(tmp(), 256, Seq("doc_id"))
+    sparse.append(Seq(("only", 1)).toDF("doc_id", "n"))
+    val missing = (0 until 300).map(i => s"probe$i")
+      .find(p => sparse.bucketFor(Seq(p)) != sparse.bucketFor(Seq("only"))).get
+    assert(sparse.readKeyed(spark, Seq(missing)).get.isEmpty)
+  }
+
+  test("readKeyed includes legacy unbucketed dirs (bucket -1 holds any key)") {
+    val root = tmp()
+    val legacy = IceLite(root) // unbucketed writer
+    legacy.append(Seq(("doc1", 1), ("doc2", 2)).toDF("doc_id", "n"))
+    // simulate a pre-PROPS table (the only way a bucketed open may see
+    // unbucketed -1 manifest entries; a PROPS-stamped spec change is
+    // rejected at open, tested elsewhere)
+    Files.delete(java.nio.file.Paths.get(root, "_meta", "PROPS"))
+    val t = IceLite(root, 8, Seq("doc_id"))
+    t.append(Seq(("doc3", 3)).toDF("doc_id", "n"))
+    for (probe <- Seq("doc1", "doc2", "doc3")) {
+      val got = t.readKeyed(spark, Seq(probe)).get.collect()
+      assert(got.length == 1 && got(0).getString(0) == probe, s"lost $probe")
+    }
+  }
 }

@@ -186,8 +186,9 @@ object Incremental {
     import spark.implicits._
     val t = Tables(workDir)
     val idList = docIds.sorted.mkString(",")
-    val docs = t.documents.read(spark).get
-      .filter(col("doc_id").isin(docIds: _*)).as[InputDoc]
+    // bucket-pruned multi-point read: a handful of ids lists only the
+    // buckets they hash into, not the whole documents table
+    val docs = t.documents.readKeyedIn(spark, docIds).get.as[InputDoc]
 
     // Registry pin (same protocol as run()'s registry_snapshot rows): a
     // crash REPLAY of this id-set must see the registry as of the first

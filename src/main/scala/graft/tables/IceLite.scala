@@ -294,6 +294,34 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     }
   }
 
+  /** Bucket-pruned MULTI-point read for single-key bucketed tables:
+    * rows whose key is in `vals`, listing only the buckets the vals
+    * hash into (plus legacy -1 dirs) — the shape of a reannotate /
+    * small-batch hydrate, where a handful of ids must not pay a
+    * whole-table file listing. None if the table was never written.
+    */
+  def readKeyedIn(spark: SparkSession, vals: Seq[Any]): Option[DataFrame] = {
+    require(bucketed && bucketKeys.length == 1,
+      s"readKeyedIn needs a single-key bucketed table: $root")
+    latestSnapshot.map { id =>
+      val keyFilter = col(bucketKeys.head).isin(vals: _*)
+      val wanted = vals.map(v => bucketFor(Seq(v)).get).toSet
+      val dirs = manifestEntries(id).collect {
+        case (bk, d) if wanted(bk) || bk == -1 => s"$root/$d"
+      }
+      val schema = schemaOf(id)
+      if (dirs.nonEmpty)
+        schema.map(s => spark.read.schema(s).parquet(dirs: _*))
+          .getOrElse(spark.read.parquet(dirs: _*))
+          .filter(keyFilter)
+      else schema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => readSnapshot(spark, id).filter(keyFilter)
+      }
+    }
+  }
+
   /** Read latest or an empty frame with the given schema. */
   def readOrEmpty(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): DataFrame =
     read(spark).getOrElse(

@@ -374,6 +374,21 @@ class IceLiteSpec extends SparkTestBase {
     assert(sparse.readKeyed(spark, Seq(missing)).get.isEmpty)
   }
 
+  test("readKeyedIn prunes to the probed buckets and matches a full-scan isin") {
+    val t = IceLite(tmp(), 8, Seq("doc_id"))
+    t.append((0 until 64).map(i => (s"doc$i", i)).toDF("doc_id", "n"))
+    val probes = Seq("doc3", "doc17", "ghost")
+    val pruned = t.readKeyedIn(spark, probes).get
+    val full = t.read(spark).get.filter(col("doc_id").isin(probes: _*))
+    assert(pruned.collect().toSet == full.collect().toSet)
+    val wanted = probes.map(p => t.bucketFor(Seq(p)).get).toSet
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => wanted.exists(b => f.contains(s"_b=$b/"))),
+      s"unpruned file: ${files.mkString(",")}")
+  }
+
   test("readKeyed includes legacy unbucketed dirs (bucket -1 holds any key)") {
     val root = tmp()
     val legacy = IceLite(root) // unbucketed writer

@@ -35,9 +35,14 @@ final case class DocumentStore(spark: SparkSession, root: String) {
   def upsert(docs: DataFrame): Unit =
     table.mergeInto(spark, docs, Seq("doc_id"))
 
-  /** S3: cascade delete (annotation sets are nested in the row). */
-  def delete(docId: String): Unit =
-    table.deleteWhere(spark, col("doc_id") === docId)
+  /** S3: cascade delete (annotation sets are nested in the row). On the
+    * bucketed store this rewrites only the doc's bucket (replaceKeys
+    * with an empty insert set), not the whole table.
+    */
+  def delete(docId: String): Unit = table.read(spark).foreach { cur =>
+    import spark.implicits._
+    table.replaceKeys(spark, Seq(docId).toDF("doc_id"), cur.limit(0))
+  }
 
   /** S4 + F19 + T4: regex listing with preview/name + pagination. */
   def list(qRegex: String, page: Int, limit: Int): DataFrame =

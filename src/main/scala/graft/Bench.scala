@@ -339,9 +339,15 @@ object Bench {
       // a level whose completed attempts spread >25% in wall time raced
       // episodic load (quiet-host repeats land within a few percent;
       // the 2026-08-19 run that shipped eff 0.62 as "this_run" spread
-      // 117 -> 159 s across four L4 attempts).
+      // 117 -> 159 s across four L4 attempts). Threshold history:
+      // 0.5 -> 0.3 -> 0.25 -> 0.22. Healthy kept levels on this host
+      // measure 0.15-0.21 across every calibrated run; a 0.248-ratio L4
+      // slipped under the 0.25 gate on 2026-08-20 while running its
+      // wall 1.47x over the same code's best (55.1 s vs 37.6 s) and
+      // promoted a 0.47 pair to a this_run headline. 0.22-0.25 is the
+      // provisioning tail's gray zone — demote it like a storm.
       val degraded = levels.exists(l => levelHostCpu.get(l)
-        .exists(h => h._2 + h._4 > 0.25 * h._1)) ||
+        .exists(h => h._2 + h._4 > 0.22 * h._1)) ||
         levels.exists(l => levelContended.getOrElse(l, false)) ||
         levels.exists(l => levelWalls.get(l)
           .exists(w => w.size > 1 && w.max > 1.25 * w.min)) ||
@@ -885,7 +891,7 @@ object Bench {
     // overrun and the watchdog clips only the OPTIONAL phase (see
     // optionalPhase below) — required evidence has already landed.
     val retryDeadlineS = sys.env.get("SPARK_GRAFT_RETRY_DEADLINE_S")
-      .map(_.toInt).getOrElse(math.max(0, wallBudgetS - 40))
+      .map(_.toInt).getOrElse(math.max(0, wallBudgetS - 15))
     val retryTarget =
       sys.env.getOrElse("SPARK_GRAFT_RETRY_BELOW_EFF", "0.85").toDouble
     def elapsedS = (System.nanoTime() - mainStart) / 1e9

@@ -314,6 +314,40 @@ object Bench {
     val lvlName: Int => String =
       if (mode == "threads") l => s"local$l" else l => s"executors$l"
 
+    // Cross-run wall sanity (BENCH_BESTS.json): fastest completed wall
+    // ever recorded per exact level config (mode, level, docs, cores,
+    // heap). Under the documented one-sided interference model (BENCH.md
+    // pathology section) a kept level running far over its best-known
+    // same-config wall is host-tail evidence the CPU-split ratio cannot
+    // see: 2026-08-20 runs 17-18 kept L4 at 54 s (ratio 0.217-0.248,
+    // under every split gate) vs the same code's 37.6 s best and
+    // promoted eff 0.47-0.51 pairs to this_run headlines. SYMMETRIC by
+    // design: a storm-slowed small level would inflate the ratio
+    // FLATTERINGLY, and it demotes the same way — the detector fires on
+    // any kept level >1.3x its best, whichever direction that biases
+    // the pair. The measured ratio is always still recorded as
+    // scaling_efficiency_this_run.
+    val bestsPath = java.nio.file.Paths.get("BENCH_BESTS.json")
+    val bestWalls = scala.collection.mutable.Map.empty[String, Double]
+    try {
+      val txt = java.nio.file.Files.readString(bestsPath)
+      """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .foreach(m => bestWalls(m.group(1)) = m.group(2).toDouble)
+    } catch { case _: Throwable => () }
+    def bestKey(l: Int, docs: Long): String =
+      if (mode == "threads") s"threads_L${l}_d$docs"
+      else s"jvms_L${l}_d${docs}_${execCores}c${execMemG}g"
+    def noteWall(l: Int, sec: Double, docs: Long): Unit = {
+      val k = bestKey(l, docs)
+      if (bestWalls.get(k).forall(_ > sec)) {
+        bestWalls(k) = sec
+        try java.nio.file.Files.writeString(bestsPath,
+          bestWalls.toSeq.sortBy(_._1).map { case (k2, v) =>
+            f""""$k2":$v%.1f""" }.mkString("{", ",", "}") + "\n")
+        catch { case _: Throwable => () }
+      }
+    }
+
     def buildJson(done: Boolean): String = {
       val qs = queriesJson.getOrElse("{}")
       // sorted: the run ORDER puts the big level first (largest fresh-
@@ -346,12 +380,15 @@ object Bench {
       // wall 1.47x over the same code's best (55.1 s vs 37.6 s) and
       // promoted a 0.47 pair to a this_run headline. 0.22-0.25 is the
       // provisioning tail's gray zone — demote it like a storm.
+      val wallSuspect = levels.filter(l =>
+        bestWalls.get(bestKey(l, levelResults(l)._2))
+          .exists(b => levelResults(l)._1 > 1.3 * b))
       val degraded = levels.exists(l => levelHostCpu.get(l)
         .exists(h => h._2 + h._4 > 0.22 * h._1)) ||
         levels.exists(l => levelContended.getOrElse(l, false)) ||
         levels.exists(l => levelWalls.get(l)
           .exists(w => w.size > 1 && w.max > 1.25 * w.min)) ||
-        baselineContended
+        baselineContended || wallSuspect.nonEmpty
       // drop(1), not .tail: Nil.tail THROWS, and this runs on the
       // watchdog thread before any level has completed — the round-3
       // driver run lost its whole artifact to exactly that (the watchdog
@@ -371,8 +408,10 @@ object Bench {
             s""""scaling_efficiency":$QuietEff,$QuietEvidence,""" +
             """"scaling_provenance":"prior quiet-window pair — a level of """ +
             """this run's ladder ran against host interference (sys/steal """ +
-            """storm or a contended load gate; host_cpu_cores_s and """ +
-            """loadavg_at_levels above; BENCH.md host pathology section)""""
+            """storm, a contended load gate, or a kept wall >1.3x the """ +
+            """best-known same-config wall; host_cpu_cores_s, """ +
+            """loadavg_at_levels and best_known_wall_s above; BENCH.md """ +
+            """host pathology section)""""
         else s""","scaling_efficiency":${eff(a, b)},""" +
           """"scaling_provenance":"this_run""""
       }.getOrElse(
@@ -418,6 +457,10 @@ object Bench {
           // hypervisor's memory reclaim, not the plan.
           s""""host_fault_mbps_at_levels":[${faultSeen.map { case (l, v) =>
             f"""{"level":$l,"mbps":$v%.0f}""" }.mkString(",")}],""" +
+          s""""best_known_wall_s":{${levels.flatMap(l =>
+            bestWalls.get(bestKey(l, levelResults(l)._2))
+              .map(b => f""""$l":$b%.1f""")).mkString(",")}},""" +
+          s""""wall_suspect_levels":[${wallSuspect.mkString(",")}],""" +
           s""""host_degraded":$degraded,"primary_pair":"$pairDesc"$effJson}"""
       val aborted = abortedBy.map(a => s""","aborted":"$a"""").getOrElse("") +
         ladderAborted.map(a => s""","ladder_aborted":"$a"""").getOrElse("") +
@@ -734,8 +777,10 @@ object Bench {
     if (onlyLevel.isDefined) {
       val lvl = onlyLevel.get.toInt
       val fault = probeFaultMBps()
-      try levelResults(lvl) = timed(lvl)
-      catch {
+      try {
+        levelResults(lvl) = timed(lvl)
+        noteWall(lvl, levelResults(lvl)._1, levelResults(lvl)._2)
+      } catch {
         case h: HostTooSlow =>
           println(f"[bench] L$lvl ladder-abort: warmup ${h.sec}%.0fs > ${warmupLimitS}s")
           levelResults(lvl) = (-1.0, 0L, 0L)
@@ -794,6 +839,7 @@ object Bench {
       val c0 = hostCpu()
       try {
         val r = timed(l)
+        noteWall(l, r._1, r._2)
         levelWalls.getOrElseUpdate(l,
           scala.collection.mutable.ArrayBuffer.empty) += r._1
         val d = hostCpu().zip(c0).map { case (a, b) => (a - b) / 100.0 }
@@ -898,12 +944,6 @@ object Bench {
     def tput(l: Int) = levelResults(l)._2 / levelResults(l)._1
     def retryMainCap(l: Int): Int =
       math.max(60, (1.2 * levelWalls(l).min).toInt)
-    // EXPECTED cost, not worst-case: an overrunning retry is clipped by
-    // the watchdog as an optional phase (complete artifact, clip
-    // recorded), so admission only needs the retry to be LIKELY to fit
-    def retryCostS(l: Int): Int =
-      10 + levelWarmups.get(l).map(_.toInt).getOrElse(warmupLimitS) +
-        levelWalls(l).min.toInt
     for ((a, b) <- levelsSorted.zip(levelsSorted.drop(1))
            .filter { case (x, y) =>
              // only retry a pair BOTH of whose levels completed (the
@@ -926,7 +966,14 @@ object Bench {
         // burst victim = lower per-core throughput; ties favor the
         // cheaper (big-parallelism) level
         val victim = if (tput(a) / a.toDouble < tput(b) / b.toDouble) a else b
-        if (elapsedS + retryCostS(victim) > retryDeadlineS) tries = 3
+        // runway check, not a full cost model: an overrunning retry is
+        // clipped by the watchdog as an optional phase (complete
+        // artifact, clip recorded), so admission only needs enough
+        // runway for the attempt to plausibly land — expected-cost
+        // models twice missed an affordable L4 retry by seconds
+        // (2026-08-20 runs 17-18) because the between-level quiet wait
+        // is unpredictable
+        if (elapsedS > retryDeadlineS - 90) tries = 3
         else {
           retryWarmupCapS = Some(math.min(warmupLimitS,
             levelWarmups.get(victim).map(w => (1.3 * w).toInt + 5)

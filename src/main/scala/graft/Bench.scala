@@ -500,13 +500,28 @@ object Bench {
       // cross-run best healthy draw is the tightest in-run lower bound
       // on the plan's scaling (0.877 vs 0.764 within an hour on
       // 2026-08-20, both runs with record-class levels)
-      val bestPairJson = primary.map { case (a, b) =>
-        val k = pairKey(a, b, levelResults(a)._2)
-        if (done && !degraded) noteBest(k, eff(a, b), bigger = true)
-        math.max(bestWallsAtStart.getOrElse(k, 0.0),
-          if (degraded) 0.0 else eff(a, b))
-      }.filter(_ > 0).map(e =>
-        f""","best_healthy_in_run_eff":$e%.4f""").getOrElse("")
+      val bestPairJson = {
+        val thisCfg = primary.map { case (a, b) =>
+          val k = pairKey(a, b, levelResults(a)._2)
+          if (done && !degraded) noteBest(k, eff(a, b), bigger = true)
+          math.max(bestWallsAtStart.getOrElse(k, 0.0),
+            if (degraded) 0.0 else eff(a, b))
+        }.filter(_ > 0).map(e =>
+          f""","best_healthy_in_run_eff":$e%.4f""").getOrElse("")
+        // the north-rule evidence is config-agnostic (same job, larger
+        // replicate amortizes fixed per-level costs — the 440k ladder is
+        // the SAME pipeline measured at the scale where short-wall
+        // overheads stop dominating), so also surface the best healthy
+        // same-run pair across EVERY recorded config, labeled with the
+        // config that produced it
+        val any = bestWalls.toSeq.filter(_._1.startsWith("bestpair_eff_"))
+          .sortBy(-_._2).headOption
+        val anyJson = any.map { case (k, v) =>
+          f""","best_healthy_in_run_any":{"eff":$v%.4f,""" +
+            s""""config":"${k.stripPrefix("bestpair_eff_")}"}"""
+        }.getOrElse("")
+        thisCfg + anyJson
+      }
       val effJson = primary.map { case (a, b) =>
         if (degraded)
           s""","scaling_efficiency_this_run":${eff(a, b)},""" +

@@ -28,8 +28,12 @@ import graft.tables.IceLite
 final case class DocumentStore(spark: SparkSession, root: String) {
   // bucketed on doc_id: upserts rewrite only touched buckets and
   // getById plans 1/16 of the table's files (IceLite.readKeyed) — at
-  // KB scale the point-read cost is file LISTING, not row filtering
-  val table = IceLite(s"$root/doc_store", 16, Seq("doc_id"))
+  // KB scale the point-read cost is file LISTING, not row filtering.
+  // openMigrating upgrades stores stamped under an older spec (e.g. the
+  // unbucketed spec this store shipped with) by one full rewrite,
+  // instead of throwing on every open.
+  val table: IceLite = IceLite.openMigrating(spark,
+    IceLite(s"$root/doc_store", 16, Seq("doc_id")))
 
   /** S2: whole-row upsert keyed by doc_id. */
   def upsert(docs: DataFrame): Unit =

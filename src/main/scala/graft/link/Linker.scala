@@ -251,7 +251,10 @@ object Linker {
       .withColumn("is_nil", lit(false))
 
     val linkable = all.filter(!_.skip)
-    val cands = candidates(spark, linkable, registry, rerank, registryRows)
+    // resolve the registry row count ONCE per run — both the candidate
+    // join and the hydrate join gate their broadcast on it
+    val regRows = registryRows.getOrElse(registry.count())
+    val cands = candidates(spark, linkable, registry, rerank, Some(regRows))
 
     // ONE aggregation derives everything per mention — the candidate
     // list, the top candidate, and the NIL features. (An earlier shape
@@ -313,10 +316,18 @@ object Linker {
 
     val unioned = skipPath.unionByName(linkedPath)
 
+    // Hydrate join (J2): same broadcast-or-shuffle gate as the candidate
+    // join above — a 10^8-entity registry cannot broadcast even as the
+    // narrow (id,title,type_) slice. Past the gate a plain shuffle join
+    // is skew-safe here: the left side is post-top-k (one row per
+    // mention), so no entity key fans out more than the mention count
+    // that actually linked to it, and AQE handles residual skew.
     val reg = registry.select(col("id").as("entity_id"),
       col("title").as("ent_title"), col("type_").as("ent_type"))
+    val regForHydrate =
+      if (regRows <= broadcastMaxRows) broadcast(reg) else reg
     val linked = unioned
-      .join(broadcast(reg), Seq("entity_id"), "left")
+      .join(regForHydrate, Seq("entity_id"), "left")
       .withColumn("title", coalesce(col("ent_title"), lit("")))
       .withColumn("entity_type",
         coalesce(col("ent_type"), col("mention_type")))

@@ -40,6 +40,39 @@ import scala.jdk.CollectionConverters._
   * schema), and time travel sees each snapshot under the schema it was
   * committed with. Type changes and renames are rejected loudly.
   */
+object IceLite {
+  /** Open `desired`, migrating an existing table stamped under a
+    * DIFFERENT bucket spec: the on-disk content is read under the
+    * stamped spec (whole-table dir listing does not depend on bucket
+    * labels), PROPS is removed, and the content is fully rewritten
+    * under the desired spec (overwrite re-stamps PROPS and emits
+    * properly-labeled bucket leaves). Without this, a store created
+    * under an older spec throws IllegalStateException on every open,
+    * with no upgrade path. Crash-safety: a kill after the PROPS
+    * removal leaves a PROPS-less table, which every keyed/merge path
+    * treats as legacy (labels untrusted, whole-table COW) until the
+    * next full rewrite stamps it — reads stay correct throughout.
+    * O(table) once, like any respec; spec-matching opens are free.
+    */
+  def openMigrating(spark: SparkSession, desired: IceLite): IceLite = {
+    val props = desired.propsFile
+    if (desired.exists && Files.exists(props) &&
+        Files.readString(props).trim != desired.specString) {
+      val onDisk = Files.readString(props).trim
+      val nb = "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(onDisk)
+        .map(_.group(1).toInt).getOrElse(0)
+      val keys = "\"bucketKeys\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(onDisk)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      val legacy = IceLite(desired.root, nb, keys)
+      val df = legacy.read(spark).get // lazy — old dirs survive the rewrite
+      Files.delete(props)
+      desired.overwrite(df)
+    }
+    desired
+  }
+}
+
 final case class IceLite(root: String, numBuckets: Int = 0,
                          bucketKeys: Seq[String] = Nil) {
   require(numBuckets == 0 || bucketKeys.nonEmpty,
@@ -250,8 +283,23 @@ final case class IceLite(root: String, numBuckets: Int = 0,
   def bucketFor(keyVals: Seq[Any]): Option[Int] =
     if (!bucketed) None
     else {
-      import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
-      val h = new Murmur3Hash(keyVals.map(Literal(_)))
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
+      // Murmur3 hashes Int and Long to DIFFERENT values, so a driver-side
+      // literal whose runtime type differs from the table's column type
+      // (e.g. an Int key against a bigint column) would compute a
+      // different bucket than the executor-side hash(col) — pruning the
+      // wrong bucket and silently returning empty for a key that exists
+      // (the post-prune equality filter casts, hiding the mismatch).
+      // Cast each literal to the stamped schema's column type first.
+      val schema = latestSnapshot.flatMap(schemaOf)
+      val lits = bucketKeys.zip(keyVals).map { case (k, v) =>
+        val l = Literal(v)
+        schema.flatMap(_.fields.find(_.name == k)).map(_.dataType) match {
+          case Some(dt) if dt != l.dataType => Cast(l, dt)
+          case _ => l
+        }
+      }
+      val h = new Murmur3Hash(lits)
       Some(Pmod(h, Literal(numBuckets)).eval(null).asInstanceOf[Int])
     }
 
@@ -276,21 +324,37 @@ final case class IceLite(root: String, numBuckets: Int = 0,
         .map { case (k, v) => col(k) === lit(v) }
         .reduce(_ && _)
       val b = bucketFor(keyVals).get
+      // same legacy rule as mergeInto/replaceKeys: a pre-PROPS table's
+      // b<k> labels may come from a DIFFERENT spec — trust none of them
+      // (read every dir, like bucket -1) until a full rewrite stamps PROPS
+      val legacy = !Files.exists(propsFile)
       val dirs = manifestEntries(id).collect {
-        case (bk, d) if bk == b || bk == -1 => s"$root/$d"
+        case (bk, d) if legacy || bk == b || bk == -1 => s"$root/$d"
       }
       val schema = schemaOf(id)
       if (dirs.nonEmpty)
         schema.map(s => spark.read.schema(s).parquet(dirs: _*))
           .getOrElse(spark.read.parquet(dirs: _*))
           .filter(keyFilter)
-      else schema match {
-        // bucket never written: statically empty under the snapshot
-        // schema, no scan at all
-        case Some(s) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-        case None => readSnapshot(spark, id).filter(keyFilter)
-      }
+      else emptyPruned(spark, id, schema)
+    }
+  }
+
+  /** No data dir survived bucket pruning: the result is statically empty
+    * (trusted labels mean the key's bucket holds no rows). Schema sources
+    * in order: the stamped snapshot schema, then the footer of any live
+    * dir — never readSnapshot().filter, which throws on a zero-dir
+    * manifest where an empty frame is the expected result.
+    */
+  private def emptyPruned(spark: SparkSession, id: Int,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val all = manifestDirs(id).map(d => s"$root/$d")
+    schema.orElse(
+      if (all.nonEmpty) Some(spark.read.parquet(all: _*).schema) else None) match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => throw new IllegalStateException(
+        s"snapshot $id of $root has no data dirs and no stamped schema")
     }
   }
 
@@ -306,19 +370,17 @@ final case class IceLite(root: String, numBuckets: Int = 0,
     latestSnapshot.map { id =>
       val keyFilter = col(bucketKeys.head).isin(vals: _*)
       val wanted = vals.map(v => bucketFor(Seq(v)).get).toSet
+      // legacy rule: pre-PROPS bucket labels untrusted (see readKeyed)
+      val legacy = !Files.exists(propsFile)
       val dirs = manifestEntries(id).collect {
-        case (bk, d) if wanted(bk) || bk == -1 => s"$root/$d"
+        case (bk, d) if legacy || wanted(bk) || bk == -1 => s"$root/$d"
       }
       val schema = schemaOf(id)
       if (dirs.nonEmpty)
         schema.map(s => spark.read.schema(s).parquet(dirs: _*))
           .getOrElse(spark.read.parquet(dirs: _*))
           .filter(keyFilter)
-      else schema match {
-        case Some(s) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-        case None => readSnapshot(spark, id).filter(keyFilter)
-      }
+      else emptyPruned(spark, id, schema)
     }
   }
 

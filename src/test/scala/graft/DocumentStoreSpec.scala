@@ -51,6 +51,26 @@ class DocumentStoreSpec extends SparkTestBase {
     assert(rows(0).getAs[String]("name") == "slow part here")
   }
 
+  test("open migrates a store stamped under an older bucket spec") {
+    import graft.tables.IceLite
+    val root = Files.createTempDirectory("docstore-mig").toString
+    // simulate a store written by the pre-bucketing code: unbucketed
+    // spec stamped in PROPS — without migration every later open throws
+    val legacy = IceLite(s"$root/doc_store")
+    legacy.overwrite(spark.createDataFrame(sampleDocs))
+    val store = DocumentStore(spark, root) // migrates on open
+    assert(store.getById("d1").collect()(0).getAs[String]("text")
+      .startsWith("spark"))
+    assert(store.table.read(spark).get.count() == 2)
+    // PROPS now carries the bucketed spec: a second open is a no-op and
+    // keyed reads prune (labels are trusted again)
+    val props = Files.readString(
+      java.nio.file.Paths.get(root, "doc_store", "_meta", "PROPS"))
+    assert(props.contains("\"numBuckets\":16"))
+    store.upsert(spark.createDataFrame(Seq(Doc("d3", "new doc", Seq.empty))))
+    assert(DocumentStore(spark, root).getById("d3").count() == 1)
+  }
+
   test("cascade delete (S3)") {
     val root = Files.createTempDirectory("docstore3").toString
     val store = DocumentStore(spark, root)

@@ -350,6 +350,26 @@ class IceLiteSpec extends SparkTestBase {
     assert(IceLite(tmp()).bucketFor(Seq("x")).isEmpty)
   }
 
+  test("bucketFor casts literals to the stamped column type (Int key, bigint column)") {
+    val t = IceLite(tmp(), 16, Seq("id"))
+    t.append((0L until 64L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // Murmur3 hashes Int and Long differently; without the cast an Int
+    // probe against the bigint column prunes the wrong bucket and the
+    // read silently returns empty for a key that exists
+    assert(t.bucketFor(Seq(5)) == t.bucketFor(Seq(5L)))
+    val got = t.readKeyed(spark, Seq(5)).get.collect() // Int probe
+    assert(got.length == 1 && got(0).getLong(0) == 5L)
+  }
+
+  test("readKeyed on a zero-dir snapshot returns an empty frame, not a throw") {
+    val t = IceLite(tmp(), 8, Seq("doc_id"))
+    t.append(Seq(("doc1", 1)).toDF("doc_id", "n"))
+    t.deleteWhere(spark, lit(true)) // empty table -> zero-dir manifest
+    val got = t.readKeyed(spark, Seq("doc1")).get
+    assert(got.isEmpty && got.columns.toSeq == Seq("doc_id", "n"))
+    assert(t.readKeyedIn(spark, Seq("doc1", "doc2")).get.isEmpty)
+  }
+
   test("readKeyed prunes to one bucket's files and matches a full-scan filter") {
     val t = IceLite(tmp(), 8, Seq("doc_id"))
     val docs = (0 until 64).map(i => (s"doc$i", i)).toDF("doc_id", "n")

@@ -212,6 +212,14 @@ class MergeLinkerSpec extends SparkTestBase {
     try {
       assert(links() == broadcastPath,
         "salted token join must reproduce the broadcast join exactly")
+      // past the gate NOTHING may carry an explicit broadcast hint — the
+      // candidate join salts and the J2 hydrate join (registry id/title/
+      // type_) falls back to a plain shuffle join; at a 10^8-entity
+      // registry an unconditional broadcast(reg) would OOM the driver
+      val analyzed = Linker.link(spark, mentions, text, reg)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        "no broadcast hints allowed when registry exceeds broadcastMaxRows")
     } finally sys.props.remove("graft.linker.broadcastMaxRows")
   }
 

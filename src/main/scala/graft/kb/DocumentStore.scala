@@ -77,6 +77,28 @@ final case class DocumentStore(spark: SparkSession, root: String) {
                 substring(col("text"), a.getField("start") + 1,
                   a.getField("end") - a.getField("start"))))))))
 
+  /** S1 variant with cluster records attached (reference GET
+    * /documents/:id vs /documents/clusters/:id,
+    * documents/src/api/document.js:127-133,162-168): the doc row gains
+    * a `clusters` column — the JSON cluster records whose assignments
+    * touch this doc, centers stripped unless `includeCenters` (the
+    * default GET deletes each cluster's `center`; the /clusters/:id
+    * endpoint keeps it, base64-encoded like every vector at a JSON
+    * edge). Point-read shaped: bucket-pruned doc fetch + a filter on
+    * the doc's cluster keys — never a whole-table cluster scan.
+    */
+  def getByIdWithClusters(docId: String, records: DataFrame,
+                          assignments: DataFrame,
+                          includeCenters: Boolean = false): DataFrame = {
+    val keys = assignments.filter(col("doc_id") === docId)
+      .select("cluster_key").distinct()
+    val docClusters = GateJson
+      .clusterEgress(records.join(keys, Seq("cluster_key")), includeCenters)
+      .agg(coalesce(sort_array(collect_list(col("json"))),
+        array().cast("array<string>")).as("clusters"))
+    getById(docId).crossJoin(docClusters)
+  }
+
   /** P10: strip `encoding` from every annotation (persist-time
     * projection — embeddings never reach the document store).
     */

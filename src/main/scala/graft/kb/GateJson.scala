@@ -91,9 +91,23 @@ object GateJson {
 
   /** Cluster records as JSON lines (title/type/nelements/mentions —
     * the fields the reference's cluster consumer reads).
+    *
+    * `includeCenters`: the reference strips each cluster's `center`
+    * from the default document egress but returns it from the
+    * /clusters/:id variant (documents/src/api/document.js:127-133,
+    * 162-168); the center travels base64-encoded like every vector at
+    * a JSON edge (TimeEvolving.py:124 `vector_encode`, the F10 codec).
+    * Default false = the strip path, matching the default GET.
     */
-  def clusterEgress(records: DataFrame): DataFrame =
+  def clusterEgress(records: DataFrame,
+                    includeCenters: Boolean = false): DataFrame = {
+    val base = Seq(col("title"), col("cluster_type").as("type"),
+      col("nelements"), col("mentions"))
+    val fields =
+      if (includeCenters && records.columns.contains("center"))
+        base :+ graft.functions.Codec.encodeVec(col("center")).as("center")
+      else base
     records.select(col("cluster_key"),
-      to_json(struct(col("title"), col("cluster_type").as("type"),
-        col("nelements"), col("mentions"))).as("json"))
+      to_json(struct(fields: _*)).as("json"))
+  }
 }

@@ -79,6 +79,37 @@ class DocumentStoreSpec extends SparkTestBase {
     assert(store.table.read(spark).get.collect().map(_.getString(0)).toSeq == Seq("d2"))
   }
 
+  test("getByIdWithClusters: center stripped by default, returned on request") {
+    val root = Files.createTempDirectory("docstore-cl").toString
+    val store = DocumentStore(spark, root)
+    store.upsert(spark.createDataFrame(sampleDocs))
+    val center = Array(0.25f, -1.5f, 3.0f)
+    val clusters = Seq(("c1", "spark", "ORG", 2L)).toDF(
+        "cluster_key", "title", "cluster_type", "nelements")
+      .withColumn("center", typedLit(center.toSeq))
+    val assignments = Seq(("d1", "entities_merged", 1, "c1"))
+      .toDF("doc_id", "annset", "ann_id", "cluster_key")
+    val mentions = Seq(("d1", "entities_merged", 1, "spark"))
+      .toDF("doc_id", "annset", "ann_id", "mention")
+    val records = GateJson.clusterRecords(clusters, assignments, mentions)
+
+    // default GET: center deleted from every cluster record
+    val plain = store.getByIdWithClusters("d1", records, assignments)
+      .select("clusters").collect()(0).getSeq[String](0)
+    assert(plain.length == 1 && !plain.head.contains("center"))
+    assert(plain.head.contains("\"title\":\"spark\""))
+    // /clusters/:id variant: center present, base64 round-trips exactly
+    val withC = store.getByIdWithClusters("d1", records, assignments,
+      includeCenters = true).select("clusters").collect()(0).getSeq[String](0)
+    val b64 = "\"center\":\"([^\"]+)\"".r.findFirstMatchIn(withC.head)
+      .map(_.group(1)).get
+    assert(graft.functions.Codec.base64ToFloats(b64).toSeq == center.toSeq)
+    // a doc with no clusters gets an empty list, not null
+    val none = store.getByIdWithClusters("d2", records, assignments)
+      .select("clusters").collect()(0).getSeq[String](0)
+    assert(none.isEmpty)
+  }
+
   test("stripEncodings drops the vector field everywhere (P10)") {
     val df = spark.createDataFrame(sampleDocs)
     val store = DocumentStore(spark, Files.createTempDirectory("ds4").toString)

@@ -144,37 +144,45 @@ object Linker {
       if (registryRows.getOrElse(registry.count()) <= broadcastMaxRows)
         mentionTokens.join(broadcast(regTokens), Seq("token"))
       else saltedTokenJoin(mentionTokens, regTokens, TokenJoinSalts)
-    val pairs = joined
-      .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
 
-    // Only the ranking score is computed for EVERY candidate pair; the
-    // remaining features (norm_score, jaccard, levenshtein) are deferred
-    // past the top-k window — the window ranks on cross_score alone, so
-    // feature work drops from all-pairs to <=k rows per mention (the
-    // optimizer cannot defer expressions past a window by itself).
-    val scored = pairs
+    // Width discipline ahead of the two candidate exchanges (the
+    // pair-dedup shuffle and the top-k window shuffle): a joined pair
+    // row carries two 64-float embeddings plus both context windows
+    // (~600 B/row) that downstream only needs as SCALARS — measured
+    // 519/560 MB shuffle writes per stage at 440k docs, and the
+    // 4-executor ladder level paid ~2x CPU on exactly these stages
+    // (single-box memory-bandwidth contention; at cluster scale the
+    // same bytes are network). Scores and norms are therefore computed
+    // BEFORE the first exchange (a 64-float dot per token-duplicate is
+    // ~100 FLOPs vs shipping 512 B through two shuffles) and only
+    // narrow columns shuffle. Duplicate pairs (one per shared token)
+    // compute identical score values, so the dedup keeps the same
+    // result. Expensive string features (jaccard, levenshtein) remain
+    // deferred past the window — <=k rows per mention, as before.
+    val scored = joined
       .withColumn("bi_score", Similarity.dotCol(col("m_emb"), col("e_emb")))
-
-    val ranked =
-      if (rerank)
-        scored.withColumn("cross_score",
+      .withColumn("cross_score",
+        if (rerank)
           graft.functions.VectorExpressions.floatCosine(
             crossEmbUdf(col("ctx_left"), col("mention"), col("ctx_right")),
-            col("e_emb")))
-      else scored.withColumn("cross_score", col("bi_score"))
+            col("e_emb"))
+        else col("bi_score"))
+      .withColumn("m_norm", Similarity.normCol(col("m_emb")))
+      .withColumn("e_norm", Similarity.normCol(col("e_emb")))
+      .select("doc_id", "annset", "ann_id", "entity_id", "title", "type_",
+        "mention", "bi_score", "cross_score", "m_norm", "e_norm")
+    val pairs = scored
+      .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
 
     val w = Window.partitionBy(col("doc_id"), col("annset"), col("ann_id"))
       .orderBy(col("cross_score").desc, col("entity_id").asc)
-    ranked
+    pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       // norm_score = dot / max(|a|,|b|)^2 (indexer/main.py:313-317);
-      // reuse the dot and bind the max-norm once (pow), instead of
-      // recomputing the two norms four times
+      // reuse the dot and the pre-exchange norms, binding the max once
       .withColumn("norm_score",
-        col("bi_score") /
-          pow(greatest(Similarity.normCol(col("m_emb")),
-            Similarity.normCol(col("e_emb"))), 2))
+        col("bi_score") / pow(greatest(col("m_norm"), col("e_norm")), 2))
       .withColumn("jacc", jaccardUdf(col("mention"), col("title")))
       .withColumn("lev_sim",
         lit(1.0) - levenshtein(lower(col("mention")), lower(col("title"))).cast("double") /

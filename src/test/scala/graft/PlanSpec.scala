@@ -90,6 +90,35 @@ class PlanSpec extends SparkTestBase {
     assert(heaps >= 2, s"expected >=2 TakeOrderedAndProject, got $heaps\n$plan")
   }
 
+  test("candidate exchanges are narrow: no embedding/context columns shuffle") {
+    // The linker's pair-dedup and top-k window exchanges must ship only
+    // scalar columns — carrying the two 64-float embeddings and context
+    // windows through them measured 519/560 MB shuffle writes per 440k
+    // docs and ~2x CPU inflation on the 4-executor bench level (memory-
+    // bandwidth contention; network at cluster scale). Scores/norms are
+    // computed pre-exchange instead; this pins that shape.
+    import graft.core.{InputDoc, Span, SpanOps}
+    import graft.link.Linker
+    import graft.ner.TrieNer
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      InputDoc("a", SpanOps.withOffsets(Seq(Span("text", "spark and customer data", "", 0))))))
+    val text = Pipeline.docText(spark, docs)
+    val mentions = TrieNer.mentions(spark, docs)
+    val reg = graft.kb.Registry.seed(spark).toDF()
+    val linkable = Linker.withEmbeddings(spark, mentions, text)
+    val cands = Linker.candidates(spark, linkable, reg)
+    val wide = Set("m_emb", "e_emb", "ctx_left", "ctx_right", "emb")
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =
+      p.collect { case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s }
+    val offenders = shuffles(cands.queryExecution.executedPlan)
+      .map(_.child.output.map(_.name).toSet.intersect(wide))
+      .filter(_.nonEmpty)
+    assert(offenders.isEmpty,
+      s"wide columns in candidate exchanges: $offenders")
+  }
+
   test("full outer join reuses the aggregation partitioning (no 3rd exchange)") {
     // Both sides pre-aggregate on the join keys, so the join itself must
     // not introduce an exchange: exactly two shuffles (one per groupBy),

@@ -57,13 +57,14 @@ object Pipeline {
         println(f"[pipe] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
-    // document-scale frame: persist under the Ckpt storage policy (the
-    // bench's multi-executor mode keeps these blocks on disk) — a plain
-    // .cache() holds deserialized columnar batches in the storage pool,
-    // and at 4 executors the pooled caches FIT in heap, pinning old-gen
-    // memory that the single-executor level never holds (measured as a
-    // level-ASYMMETRIC GC+CPU inflation in every post-linker stage).
-    val text = docText(spark, docs).persist(Ckpt.storage)
+    // NOT persisted (r4): the text frame has exactly ONE consumer — the
+    // linker's per-doc cogroup — so a persist would write+read ~150 MB
+    // per 440k docs of tmpfs blocks for zero reuse (tmpfs bytes are
+    // memory bandwidth, the resource the multi-executor level contends
+    // on). The assemble map re-runs from the docs persist instead. If a
+    // second consumer ever appears, restore persist(Ckpt.storage) — not
+    // .cache() (see the Linker.all note for why).
+    val text = docText(spark, docs)
 
     val trie = TrieNer.mentions(spark, docs)
     val regex = RegexNer.mentions(spark, docs)

@@ -77,7 +77,8 @@ object Linker {
   def withEmbeddings(
       spark: SparkSession,
       mentions: Dataset[Mention],
-      docText: DataFrame): Dataset[LinkInput] = {
+      docText: DataFrame,
+      keepCtx: Boolean = true): Dataset[LinkInput] = {
     import spark.implicits._
     val byDoc = mentions.groupByKey(_.doc_id)
     val texts = docText.select(col("doc_id"), col("text"))
@@ -91,8 +92,13 @@ object Linker {
         ms.map { mn =>
           val cl = text.substring(math.max(0, mn.start - 30), mn.start)
           val cr = text.substring(mn.end, math.min(text.length, mn.end + 30))
+          // context windows feed the mention embedding here either way;
+          // they are STORED on the row only for the cross-encoder rerank
+          // (keepCtx) — without it they are ~120 B/mention of dead
+          // weight in the persisted frame and every row it fans into
           LinkInput(doc, mn.annset, mn.ann_id, mn.mention_type, mn.start,
-            mn.end, mn.mention, mn.skip, mn.gazetteer_id, cl, cr,
+            mn.end, mn.mention, mn.skip, mn.gazetteer_id,
+            if (keepCtx) cl else "", if (keepCtx) cr else "",
             Embed.embedMention(cl, mn.mention, cr))
         }
       }
@@ -123,7 +129,14 @@ object Linker {
         col("emb").as("e_emb"))
       .withColumn("token", explode(split(lower(col("title")), "\\s+")))
 
+    // narrow BEFORE the token explode: the join fans each mention out
+    // ~3-4x (one row per distinct token), so unused columns multiply —
+    // only the key, surface, embedding (and contexts under rerank) are
+    // consumed downstream of the join
+    val mentionCols = Seq("doc_id", "annset", "ann_id", "mention", "m_emb") ++
+      (if (rerank) Seq("ctx_left", "ctx_right") else Nil)
     val mentionTokens = linkable.toDF()
+      .select(mentionCols.map(col): _*)
       .withColumn("token",
         explode(array_distinct(split(
           // length-preserving cleanup keeps tokens aligned with TrieNer
@@ -248,7 +261,8 @@ object Linker {
     // mention-scale with embeddings + contexts — the widest hot frame;
     // Ckpt.storage (not .cache()) keeps it out of the executor storage
     // pools on the multi-executor bench (see Pipeline.run note).
-    val all = withEmbeddings(spark, mentions, docText).persist(graft.Ckpt.storage)
+    val all = withEmbeddings(spark, mentions, docText, keepCtx = rerank)
+      .persist(graft.Ckpt.storage)
 
     // skip-path: dictionary-resolved or DATE mentions bypass scoring
     // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54)

@@ -107,7 +107,7 @@ object DevProfile {
         org.apache.spark.sql.Encoders.product[graft.core.Mention])
       val all = graft.link.Linker.withEmbeddings(spark, mD, text).cache()
       time("embed cache")(println("all=" + all.count()))
-      val linkable = all.filter(!_.skip)
+      val linkable = all.toDF().filter(!col("skip"))
       val cands = graft.link.Linker.candidates(spark, linkable, reg)
       time("cands count")(println("cands=" + cands.count()))
       val candLists = cands

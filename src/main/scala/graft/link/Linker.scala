@@ -119,7 +119,7 @@ object Linker {
     * with rank <= TopK. `rerank` switches ranking to the cross-encoder
     * score (bi-encoder still computed — it remains a NIL feature).
     */
-  def candidates(spark: SparkSession, linkable: Dataset[LinkInput],
+  def candidates(spark: SparkSession, linkable: DataFrame,
                  registry: DataFrame, rerank: Boolean = false,
                  registryRows: Option[Long] = None): DataFrame = {
     import spark.implicits._
@@ -135,7 +135,7 @@ object Linker {
     // consumed downstream of the join
     val mentionCols = Seq("doc_id", "annset", "ann_id", "mention", "m_emb") ++
       (if (rerank) Seq("ctx_left", "ctx_right") else Nil)
-    val mentionTokens = linkable.toDF()
+    val mentionTokens = linkable
       .select(mentionCols.map(col): _*)
       .withColumn("token",
         explode(array_distinct(split(
@@ -263,16 +263,23 @@ object Linker {
     // pools on the multi-executor bench (see Pipeline.run note).
     val all = withEmbeddings(spark, mentions, docText, keepCtx = rerank)
       .persist(graft.Ckpt.storage)
+    // COLUMN filters from here on (r4): the persisted frame is consumed
+    // by three branches, and a typed `.filter(_.skip)` deserializes
+    // every row to a LinkInput OBJECT (string + 64-float allocations)
+    // once per consuming job just to test a boolean — three full
+    // object-materialization passes that Tungsten row filters do in
+    // codegen with zero allocation.
+    val allDf = all.toDF()
 
     // skip-path: dictionary-resolved or DATE mentions bypass scoring
     // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54)
-    val skipPath = all.filter(_.skip).toDF()
+    val skipPath = allDf.filter(col("skip"))
       .withColumn("entity_id", col("gazetteer_id"))
       .withColumn("bi_score", lit(1.0))
       .withColumn("nil_score", lit(1.0))
       .withColumn("is_nil", lit(false))
 
-    val linkable = all.filter(!_.skip)
+    val linkable = allDf.filter(!col("skip"))
     // resolve the registry row count ONCE per run — both the candidate
     // join and the hydrate join gate their broadcast on it
     val regRows = registryRows.getOrElse(registry.count())
@@ -324,7 +331,7 @@ object Linker {
       lit(NilWeights(5)) * col("sc_median") +
       lit(NilWeights(6)) * col("sc_stdev") + lit(NilBias)
 
-    val linkedPath = linkable.toDF()
+    val linkedPath = linkable
       .join(feats, Seq("doc_id", "annset", "ann_id"), "left")
       .withColumn("nil_score",
         when(col("top_entity_id").isNull, lit(0.0)) // P8: no candidates

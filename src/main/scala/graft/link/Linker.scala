@@ -105,6 +105,48 @@ object Linker {
     }
   }
 
+  private val embedMentionUdf = udf((cl: String, m: String, cr: String) =>
+    Embed.embedMention(cl, m, cr))
+
+  /** Row-based [[withEmbeddings]] (r4, the shipping path): a shuffled
+    * hash join mentions x texts on doc_id with INLINE context slicing,
+    * instead of the typed cogroup. The cogroup deserialized 8.8M
+    * Mention objects through Kryo and re-encoded every LinkInput row
+    * through the reflection encoder — the last object-SerDe-heavy op in
+    * the hot path (measured: the linker phase dominated the ladder's
+    * 4-executor wall). Here both sides stay Tungsten rows: the build
+    * side holds each doc's text ONCE per partition hash map (the
+    * per-mention-copy GC problem that motivated the cogroup came from
+    * carrying the full text on every joined row; the codegen projection
+    * below consumes `text` inside the join stage and only the <=30-char
+    * slices survive), and the embed UDF is the single object boundary.
+    * Scale: doc_id-keyed shuffle join, one text row per doc — no skew;
+    * at 100 TB the per-partition build side is corpus_bytes/partitions.
+    * Output rows identical to the cogroup (same slice math, same embed;
+    * property-tested in MergeLinkerSpec/GoldenSpec via the pipeline).
+    */
+  def withEmbeddingsDF(
+      spark: SparkSession,
+      mentions: Dataset[Mention],
+      docText: DataFrame,
+      keepCtx: Boolean = true): DataFrame = {
+    val t = docText.select(col("doc_id"), col("text"))
+    // cl = text[max(0, start-30) .. start)  (0-based, end-exclusive)
+    // cr = text[end .. end+30)              (substr clamps at the end)
+    val cl = col("text").substr(
+      greatest(col("start") - lit(29), lit(1)), least(lit(30), col("start")))
+    val cr = col("text").substr(col("end") + lit(1), lit(30))
+    mentions.toDF()
+      .join(t.hint("SHUFFLE_HASH"), Seq("doc_id"))
+      .withColumn("m_emb", embedMentionUdf(cl, col("mention"), cr))
+      // contexts are stored only for the cross-encoder rerank, same
+      // rule as withEmbeddings(keepCtx)
+      .withColumn("ctx_left", if (keepCtx) cl else lit(""))
+      .withColumn("ctx_right", if (keepCtx) cr else lit(""))
+      .select("doc_id", "annset", "ann_id", "mention_type", "start", "end",
+        "mention", "skip", "gazetteer_id", "ctx_left", "ctx_right", "m_emb")
+  }
+
   /** Cross-encoder rerank stand-in (reference optional stage,
     * crossencoder/__main__.py:94-157: candidates re-scored with the full
     * mention+context against the entity, then re-sorted 148-156): a
@@ -261,15 +303,12 @@ object Linker {
     // mention-scale with embeddings + contexts — the widest hot frame;
     // Ckpt.storage (not .cache()) keeps it out of the executor storage
     // pools on the multi-executor bench (see Pipeline.run note).
-    val all = withEmbeddings(spark, mentions, docText, keepCtx = rerank)
+    // COLUMN filters + row-based embed join (r4): the persisted frame
+    // is consumed by three branches, and both the old typed cogroup and
+    // typed `.filter(_.skip)` paid full object SerDe per row per pass —
+    // the row join + codegen filters keep everything in Tungsten.
+    val allDf = withEmbeddingsDF(spark, mentions, docText, keepCtx = rerank)
       .persist(graft.Ckpt.storage)
-    // COLUMN filters from here on (r4): the persisted frame is consumed
-    // by three branches, and a typed `.filter(_.skip)` deserializes
-    // every row to a LinkInput OBJECT (string + 64-float allocations)
-    // once per consuming job just to test a boolean — three full
-    // object-materialization passes that Tungsten row filters do in
-    // codegen with zero allocation.
-    val allDf = all.toDF()
 
     // skip-path: dictionary-resolved or DATE mentions bypass scoring
     // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54)

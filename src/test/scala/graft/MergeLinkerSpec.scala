@@ -218,7 +218,9 @@ class MergeLinkerSpec extends SparkTestBase {
       // registry an unconditional broadcast(reg) would OOM the driver
       val analyzed = Linker.link(spark, mentions, text, reg)
         .queryExecution.analyzed.toString
-      assert(!analyzed.contains("ResolvedHint"),
+      // the SHUFFLE_HASH hint on the embed join is fine — only a
+      // BROADCAST hint would blow up at a 10^8-entity registry
+      assert(!analyzed.toLowerCase.contains("strategy=broadcast"),
         "no broadcast hints allowed when registry exceeds broadcastMaxRows")
     } finally sys.props.remove("graft.linker.broadcastMaxRows")
   }

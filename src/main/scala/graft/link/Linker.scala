@@ -307,8 +307,15 @@ object Linker {
     // is consumed by three branches, and both the old typed cogroup and
     // typed `.filter(_.skip)` paid full object SerDe per row per pass —
     // the row join + codegen filters keep everything in Tungsten.
-    val allDf = withEmbeddingsDF(spark, mentions, docText, keepCtx = rerank)
-      .persist(graft.Ckpt.storage)
+    // SPARK_GRAFT_EMBED_COGROUP=1 restores the typed cogroup (perf A/B
+    // only — the two paths are row-identical).
+    val useCogroup = sys.env.get("SPARK_GRAFT_EMBED_COGROUP").contains("1") ||
+      sys.props.get("graft.linker.embedCogroup").contains("1")
+    val allDf =
+      (if (useCogroup)
+        withEmbeddings(spark, mentions, docText, keepCtx = rerank).toDF()
+      else withEmbeddingsDF(spark, mentions, docText, keepCtx = rerank))
+        .persist(graft.Ckpt.storage)
 
     // skip-path: dictionary-resolved or DATE mentions bypass scoring
     // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54)

@@ -314,35 +314,15 @@ object Bench {
     val bestQueries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val queryPassJson = scala.collection.mutable.ArrayBuffer.empty[String]
     val queryPassDegraded = scala.collection.mutable.ArrayBuffer.empty[Boolean]
-    var seededHealthy = false
-    // Seed cross-RUN minima from a prior NON-degraded artifact of the
-    // same shape: retries during a storm day then monotonically improve
-    // the kept table instead of overwriting a healthy one (a 62.7 s
-    // storm-tail pass once replaced a 40.4 s healthy table). Same
-    // min-under-additive-noise estimator as the in-run passes; degraded
-    // artifacts never seed.
-    try {
-      val p = java.nio.file.Paths.get(artifactPath)
-      if (java.nio.file.Files.exists(p)) {
-        val txt = java.nio.file.Files.readString(p)
-        // only artifacts of the SAME scale may seed: an sf0.01 smoke's
-        // minima would otherwise masquerade as the sf0.1 query table
-        if (txt.contains("\"queries_degraded\":false") &&
-            txt.contains("\"sf\":\"" + sfDir + "\""))
-          "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
-            .map(_.group(1)).foreach { qb =>
-              "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qb)
-                .filter(m => headline.contains(m.group(1)))
-                .foreach(m => bestQueries(m.group(1)) = m.group(2).toDouble)
-            }
-      }
-      if (bestQueries.nonEmpty) {
-        queriesJson = Some(bestQueries.map { case (k, v) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}"))
-        queriesTotal = bestQueries.values.sum
-        seededHealthy = true
-      }
-    } catch { case _: Throwable => () }
+    // NO cross-run seeding (r4, was r3 behavior): minima carried from a
+    // prior artifact are measurements of PRIOR code — after this round's
+    // hot-path rewrites a carried minimum could show a number current
+    // code cannot reproduce, which is worse than a noisy fresh table.
+    // The kept table is min-of-passes WITHIN this run only (queries run
+    // first, deadline-capped, so a pass essentially always lands; a
+    // storm-degraded pass is stamped degraded and the second-chance
+    // block re-measures when the host recovers).
+
     val levelResults = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Long, Long)]
     // (level, value) per ATTEMPT — retries append too, so entries carry
     // their level explicitly instead of relying on positional alignment
@@ -675,16 +655,12 @@ object Bench {
       // queries_degraded is a one-glance verdict on the KEPT table: true
       // only when EVERY pass ran storm-bound (a single healthy pass makes
       // the per-query minimums trustworthy). queries_provenance labels a
-      // table that exists ONLY via cross-run seeding (a storm-slowed
-      // ladder can starve the query phase entirely — 2026-08-19 run): the
-      // values are real healthy-window minima, but not THIS run's.
-      val qProv =
-        if (queryPassJson.nonEmpty) "this_run"
-        else if (seededHealthy) "seeded_prior_artifact_no_pass_this_run"
-        else "none"
+      // table values are always THIS run's measurements (no cross-run
+      // seeding since r4 — see the bestQueries note).
+      val qProv = if (queryPassJson.nonEmpty) "this_run" else "none"
       val qHealth = s""","queries_passes":${queryPassJson.mkString("[", ",", "]")},""" +
         s""""queries_provenance":"$qProv",""" +
-        s""""queries_degraded":${!seededHealthy && queryPassDegraded.nonEmpty && queryPassDegraded.forall(identity)}"""
+        s""""queries_degraded":${queryPassDegraded.nonEmpty && queryPassDegraded.forall(identity)}"""
       s"""{"metric":"total","value":$queriesTotal,"unit":"sec","queries":$qs$qHealth,""" +
         s""""sf":"$sfDir","complete":$done$aborted,"kb_pipeline":$pipeline}"""
     }

@@ -23,6 +23,14 @@ import graft.cluster.NilCluster
   */
 object Pipeline {
 
+  /** One row per document out of the one-pass prep (see run): the four
+    * per-doc derivations as columns, consumed downstream by row ops.
+    */
+  final case class MediaRef(media_ref: String, offset: Int)
+  final case class DocPrep(doc_id: String, text: String,
+      media: Seq[MediaRef], trie: Seq[graft.core.Mention],
+      regex: Seq[graft.core.Mention])
+
   final case class Result(
       linked: DataFrame,        // one row per merged mention w/ link decision
       candidates: DataFrame,    // per-mention top-k candidate lists (J1 persist)
@@ -57,17 +65,40 @@ object Pipeline {
         println(f"[pipe] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
       r
     }
-    // NOT persisted (r4): the text frame has exactly ONE consumer — the
-    // linker's per-doc cogroup — so a persist would write+read ~150 MB
-    // per 440k docs of tmpfs blocks for zero reuse (tmpfs bytes are
-    // memory bandwidth, the resource the multi-executor level contends
-    // on). The assemble map re-runs from the docs persist instead. If a
-    // second consumer ever appears, restore persist(Ckpt.storage) — not
-    // .cache() (see the Linker.all note for why).
-    val text = docText(spark, docs)
+    // ONE-PASS doc prep (r4): a single InputDoc deserialization and a
+    // single text assembly serve all four per-doc derivations — trie
+    // NER, regex NER, document text, media spans. The previous shape
+    // ran four separate typed scans of the docs persist, each
+    // re-deserializing every InputDoc (spans = an array of case
+    // objects with the full text inside) and three of them
+    // re-assembling the text. Downstream consumes this frame with ROW
+    // operations (explode/select), so the object boundary is crossed
+    // exactly once per document; the persist is serialized blocks
+    // under the Ckpt storage policy like every other stage hub.
+    import spark.implicits._
+    val prep = {
+      import graft.fixtures.Gazetteer
+      val bcPatterns = spark.sparkContext.broadcast(Gazetteer.patterns)
+      val bcTypes = spark.sparkContext.broadcast(
+        Gazetteer.byId.map { case (k, v) => k -> v.etype })
+      val maxTok = Gazetteer.maxPatternTokens
+      docs.map { d =>
+        val text = SpanOps.assemble(d.spans)
+        DocPrep(d.doc_id, text,
+          d.spans.filter(_.kind == "media")
+            .map(s => MediaRef(s.media_ref, s.offset)),
+          TrieNer.docMentions(d.doc_id, text,
+            bcPatterns.value, bcTypes.value, maxTok),
+          RegexNer.docMentions(d.doc_id, text))
+      }.toDF().persist(Ckpt.storage)
+    }
+    def mentionsOf(c: String): Dataset[graft.core.Mention] =
+      prep.select(explode(col(c)).as("m")).select("m.*")
+        .as[graft.core.Mention]
+    val text = prep.select(col("doc_id"), col("text"))
 
-    val trie = TrieNer.mentions(spark, docs)
-    val regex = RegexNer.mentions(spark, docs)
+    val trie = mentionsOf("trie")
+    val regex = mentionsOf("regex")
     val merged = MergeAnnsets.merge(spark, Seq(trie, regex))
 
     // ONE registry aggregate serves both the linker's broadcast-or-salt
@@ -223,11 +254,15 @@ object Pipeline {
         greatest(col("name"), col("next_name")).as("obj"))
       .distinct()
 
-    val mediaT = mediaSpans(spark, docs).select(
-      col("doc_id"),
-      concat(lit("doc:"), col("doc_id")).as("subj"),
-      lit(":hasMedia").as("pred"),
-      col("media_ref").as("obj"))
+    // media spans come from the prep frame (one-pass rule), not a
+    // fourth scan of the docs persist
+    val mediaT = prep
+      .select(col("doc_id"), explode(col("media")).as("mr"))
+      .select(
+        col("doc_id"),
+        concat(lit("doc:"), col("doc_id")).as("subj"),
+        lit(":hasMedia").as("pred"),
+        col("mr.media_ref").as("obj"))
 
     val triples = projT.unionByName(coT).unionByName(mediaT)
 

@@ -35,14 +35,17 @@ object RegexNer {
     (dates ++ novel).sortBy(m => (m._1, m._2))
   }
 
+  /** Per-doc mentions from already-assembled text — the unit the
+    * one-pass doc prep (Pipeline) composes; [[mentions]] wraps it.
+    */
+  def docMentions(docId: String, text: String): Seq[Mention] =
+    findMatches(text).zipWithIndex.map { case ((s, e, tpe, skip), idx) =>
+      Mention(docId, AnnSet, idx + 1, tpe, s, e,
+        text.substring(s, e), 0.8, "regex", skip, -1L)
+    }
+
   def mentions(spark: SparkSession, docs: Dataset[InputDoc]): Dataset[Mention] = {
     import spark.implicits._
-    docs.flatMap { doc =>
-      val text = SpanOps.assemble(doc.spans)
-      findMatches(text).zipWithIndex.map { case ((s, e, tpe, skip), idx) =>
-        Mention(doc.doc_id, AnnSet, idx + 1, tpe, s, e,
-          text.substring(s, e), 0.8, "regex", skip, -1L)
-      }
-    }
+    docs.flatMap(doc => docMentions(doc.doc_id, SpanOps.assemble(doc.spans)))
   }
 }

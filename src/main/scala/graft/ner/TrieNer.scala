@@ -86,6 +86,30 @@ object TrieNer {
     out.result()
   }
 
+  /** Per-doc mentions from already-assembled text — the unit the
+    * one-pass doc prep (Pipeline) composes; [[mentions]] wraps it.
+    */
+  def docMentions(docId: String, text: String,
+                  patterns: Map[String, Seq[Long]],
+                  types: Map[Long, String],
+                  maxTokens: Int): Seq[Mention] =
+    findMatches(text, patterns, maxTokens).zipWithIndex.map {
+      case ((s, e, _, ids), idx) =>
+        val single = ids.size == 1
+        Mention(
+          doc_id = docId,
+          annset = AnnSet,
+          ann_id = idx + 1,
+          mention_type = types(ids.head),
+          start = s,
+          end = e,
+          mention = text.substring(s, e),
+          score = 1.0,
+          source = "trie",
+          skip = single,
+          gazetteer_id = if (single) ids.head else -1L)
+    }
+
   /** Distributed stage: InputDoc -> per-source mention rows. */
   def mentions(spark: SparkSession, docs: Dataset[InputDoc]): Dataset[Mention] = {
     import spark.implicits._
@@ -95,23 +119,8 @@ object TrieNer {
       spark.sparkContext.broadcast(Gazetteer.byId.map { case (k, v) => k -> v.etype })
     val maxTok = Gazetteer.maxPatternTokens
     docs.flatMap { doc =>
-      val text = SpanOps.assemble(doc.spans)
-      findMatches(text, bcPatterns.value, maxTok).zipWithIndex.map {
-        case ((s, e, _, ids), idx) =>
-          val single = ids.size == 1
-          Mention(
-            doc_id = doc.doc_id,
-            annset = AnnSet,
-            ann_id = idx + 1,
-            mention_type = bcTypes.value(ids.head),
-            start = s,
-            end = e,
-            mention = text.substring(s, e),
-            score = 1.0,
-            source = "trie",
-            skip = single,
-            gazetteer_id = if (single) ids.head else -1L)
-      }
+      docMentions(doc.doc_id, SpanOps.assemble(doc.spans),
+        bcPatterns.value, bcTypes.value, maxTok)
     }
   }
 }

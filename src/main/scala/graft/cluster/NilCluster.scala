@@ -462,15 +462,26 @@ object NilCluster {
   def clusterFull(spark: SparkSession, nilMentions: DataFrame,
                   localLimit: Long = LocalLimit): ClusterResult = {
     import spark.implicits._
-    // mention-scale: Ckpt.storage, not .cache() — see Pipeline.run note
-    // on level-asymmetric storage-pool pressure.
-    val mentionsN = nilMentions
-      .withColumn("surface", lower(col("mention")))
+    // ONE mention-scale pass (r5): collapse to the (surface, case-form,
+    // type) vocabulary FIRST — a map-side-combining aggregate — and
+    // derive everything downstream (surface set, titles, types, sizes)
+    // from that vocabulary-scale frame. The previous shape persisted the
+    // mention-scale frame TWICE (normalized + assigned) and scanned the
+    // assigned persist three more times (two mode aggregates + sizes),
+    // each a separate job with its own window/join stages: ~4 s of
+    // per-level serial stage dispatch on the bench ladder for aggregates
+    // whose true output is vocabulary-sized. Counts are exact, so mode /
+    // nelements / n_surfaces are unchanged (sum of per-form counts ==
+    // count over mentions).
+    val counts = nilMentions
+      .groupBy(lower(col("mention")).as("surface"),
+        col("mention"), col("mention_type"))
+      .agg(count(lit(1)).as("cnt"))
       .persist(graft.Ckpt.storage)
 
-    val surfacesDf = mentionsN.select("surface").distinct().cache()
     // one job decides the path AND feeds the local path: take(limit+1)
     // instead of count()+collect() halves the eager-job count here
+    val surfacesDf = counts.select("surface").distinct()
     val head = surfacesDf.as[String].take(localLimit.toInt + 1)
     val isLocal = head.length <= localLimit
 
@@ -488,30 +499,75 @@ object NilCluster {
     // unbounded — hinting broadcast there would ship the whole
     // vocabulary to every executor. AQE picks the join there.
     val surfKey = surfToCluster.select("surface", "cluster_key")
-    val assigned = mentionsN.join(
-      if (isLocal) broadcast(surfKey) else surfKey,
-      Seq("surface")).persist(graft.Ckpt.storage)
 
-    // title (A1) / type (A2): mode with (count desc, value asc) tie-break
-    def mode(df: DataFrame, valueCol: String, outName: String): DataFrame = {
-      val counts = df.groupBy(col("cluster_key"), col(valueCol))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("cluster_key"))
-        .orderBy(col("cnt").desc, col(valueCol).asc)
-      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("cluster_key"), col(valueCol).as(outName))
-    }
-    val titles = mode(assigned, "mention", "title")
-    val types = mode(assigned, "mention_type", "cluster_type")
-    val sizesM = assigned.groupBy("cluster_key")
-      .agg(count(lit(1)).as("nelements"), countDistinct("surface").as("n_surfaces"))
-    val centers = surfToCluster.select("cluster_key", "center").dropDuplicates("cluster_key")
+    // title (A1) / type (A2) mode with (count desc, value asc) tie-break,
+    // nelements, n_surfaces — ONE vocabulary-scale aggregate over the
+    // keyed counts ([[clusterAggUdf]]; value order matches Spark's
+    // UTF8String binary ordering, which the previous orderBy used).
+    val withKey = counts.join(
+      if (isLocal) broadcast(surfKey) else surfKey, Seq("surface"))
+    val agg = withKey.groupBy(col("cluster_key"))
+      .agg(clusterAggUdf(collect_list(struct(
+        col("surface"), col("mention"), col("mention_type"), col("cnt"))))
+        .as("m"))
+      .select(col("cluster_key"), col("m._1").as("title"),
+        col("m._2").as("cluster_type"), col("m._3").as("nelements"),
+        col("m._4").as("n_surfaces"))
+    val centers = surfToCluster.select("cluster_key", "center")
+      .dropDuplicates("cluster_key")
+    val clusters = agg.join(
+      if (isLocal) broadcast(centers) else centers, Seq("cluster_key"))
 
-    val clusters = titles.join(types, Seq("cluster_key"))
-      .join(sizesM, Seq("cluster_key"))
-      .join(centers, Seq("cluster_key"))
-
-    val assignments = assigned.select("doc_id", "annset", "ann_id", "cluster_key")
+    // mention-scale assignments stay LAZY and unpersisted: Pipeline.run
+    // resolves by surface (surfaceMap) and never consumes them; API
+    // callers that fan out over assignments should checkpoint first.
+    val assignments = nilMentions
+      .withColumn("surface", lower(col("mention")))
+      .join(if (isLocal) broadcast(surfKey) else surfKey, Seq("surface"))
+      .select("doc_id", "annset", "ann_id", "cluster_key")
     ClusterResult(assignments, clusters, surfKey, isLocal)
   }
+
+  /** Cluster-record aggregate over keyed (surface, mention, mention_type,
+    * cnt) rows: (title, cluster_type, nelements, n_surfaces). Mode
+    * tie-break = (count desc, value asc) in UTF-8 BYTE order — identical
+    * to the `orderBy(cnt.desc, value.asc)` window it replaces, because
+    * Spark's UTF8String comparison is unsigned byte-wise.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val m = math.min(x.length, y.length)
+    while (i < m) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def weightedMode(m: scala.collection.Map[String, Long]): String = {
+    var best: String = null
+    var bestC = -1L
+    m.foreach { case (v, c) =>
+      if (c > bestC || (c == bestC && utf8Less(v, best))) { best = v; bestC = c }
+    }
+    best
+  }
+
+  private val clusterAggUdf =
+    udf((xs: Seq[(String, String, String, Long)]) => {
+      val byMention = scala.collection.mutable.HashMap.empty[String, Long]
+      val byType = scala.collection.mutable.HashMap.empty[String, Long]
+      val surfaces = scala.collection.mutable.HashSet.empty[String]
+      var n = 0L
+      xs.foreach { case (s, mn, t, c) =>
+        byMention(mn) = byMention.getOrElse(mn, 0L) + c
+        byType(t) = byType.getOrElse(t, 0L) + c
+        surfaces += s
+        n += c
+      }
+      (weightedMode(byMention), weightedMode(byType), n, surfaces.size.toLong)
+    })
 }

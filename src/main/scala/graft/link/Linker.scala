@@ -124,6 +124,15 @@ object Linker {
     * at 100 TB the per-partition build side is corpus_bytes/partitions.
     * Output rows identical to the cogroup (same slice math, same embed;
     * property-tested in MergeLinkerSpec/GoldenSpec via the pipeline).
+    *
+    * UNICODE SCOPE (ADVICE r4): Spark's `substr` counts CODE POINTS
+    * while Mention.start/end are UTF-16 indices from String ops in the
+    * NER stage, so on text containing supplementary characters (outside
+    * the BMP — emoji etc.) this path's context windows can differ from
+    * the typed cogroup's by the surrogate-pair offset. The row-identical
+    * A/B guarantee therefore holds for BMP corpora (every fixture and
+    * gazetteer surface here; the offsets of the MENTIONS themselves are
+    * consistent either way — only the ±30-char context padding shifts).
     */
   def withEmbeddingsDF(
       spark: SparkSession,
@@ -216,18 +225,32 @@ object Linker {
     // deferred past the window — <=k rows per mention, as before.
     val scored = joined
       .withColumn("bi_score", Similarity.dotCol(col("m_emb"), col("e_emb")))
+      .withColumn("m_norm", Similarity.normCol(col("m_emb")))
+      .withColumn("e_norm", Similarity.normCol(col("e_emb")))
+      .select(Seq("doc_id", "annset", "ann_id", "entity_id", "title",
+        "type_", "mention", "bi_score", "m_norm", "e_norm").map(col) ++
+        // under rerank the cross-encoder inputs ride to the dedup; the
+        // entity embedding is needed again on the far side for the
+        // cosine (e_emb is re-kept rather than re-joined — rerank is an
+        // opt-in path, and one wide column on DEDUPED pairs costs less
+        // than a second registry join)
+        (if (rerank) Seq(col("ctx_left"), col("ctx_right"), col("e_emb"))
+         else Nil): _*)
+    // cross_score AFTER the pair dedup (ADVICE r4): the crossEmbUdf is
+    // the one expensive per-row op here, and computing it before the
+    // dedup ran it once per shared-token duplicate (~3-4x per pair) for
+    // identical results. bi_score/norms stay pre-exchange as before
+    // (cheap dots, and keeping them narrow-only is the r4 exchange
+    // discipline).
+    val pairs = scored
+      .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
       .withColumn("cross_score",
         if (rerank)
           graft.functions.VectorExpressions.floatCosine(
             crossEmbUdf(col("ctx_left"), col("mention"), col("ctx_right")),
             col("e_emb"))
         else col("bi_score"))
-      .withColumn("m_norm", Similarity.normCol(col("m_emb")))
-      .withColumn("e_norm", Similarity.normCol(col("e_emb")))
-      .select("doc_id", "annset", "ann_id", "entity_id", "title", "type_",
-        "mention", "bi_score", "cross_score", "m_norm", "e_norm")
-    val pairs = scored
-      .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
+      .drop("ctx_left", "ctx_right", "e_emb")
 
     val w = Window.partitionBy(col("doc_id"), col("annset"), col("ann_id"))
       .orderBy(col("cross_score").desc, col("entity_id").asc)

@@ -93,22 +93,30 @@ object Pipeline {
       }.toDF().persist(Ckpt.storage)
     }
     // NOTE on the lazy prep persist: its downstream map stages (the
-    // trie∪regex scan feeding the merge shuffle, the text scan feeding
-    // the embed join) are independent and can race a COLD persist,
-    // recomputing the NER-heavy prep map for partitions the other stage
-    // hasn't cached yet. Measured A/B at 440k docs (r5): an eager
-    // materializing count removed ~2.7 s of duplicated NER from the
-    // linker stage but cost ~6.7 s as a standalone job barrier — the
-    // duplication is cheap parallel work while the barrier is pure
-    // serial latency, so LAZY wins on both wall and scaling ratio.
-    def mentionsOf(c: String): Dataset[graft.core.Mention] =
-      prep.select(explode(col(c)).as("m")).select("m.*")
-        .as[graft.core.Mention]
+    // mention-explode scan feeding the merge shuffle, the text scan
+    // feeding the embed join) are independent and can race a COLD
+    // persist, recomputing the NER-heavy prep map for partitions the
+    // other stage hasn't cached yet. Measured A/B at 440k docs (r5):
+    // an eager materializing count removed ~2.7 s of duplicated NER
+    // from the linker stage but cost ~6.7 s as a standalone job
+    // barrier — the duplication is cheap parallel work while the
+    // barrier is pure serial latency, so LAZY stays the default;
+    // SPARK_GRAFT_PREP_EAGER=1 flips it for A/B on other topologies.
+    if (sys.env.get("SPARK_GRAFT_PREP_EAGER").contains("1") ||
+        sys.props.get("graft.prep.eager").contains("1"))
+      ph("prep.eager")(prep.count())
     val text = prep.select(col("doc_id"), col("text"))
 
-    val trie = mentionsOf("trie")
-    val regex = mentionsOf("regex")
-    val merged = MergeAnnsets.merge(spark, Seq(trie, regex))
+    // ONE explode over the concatenated annsets instead of a
+    // trie-scan ∪ regex-scan (r5): the union put TWO map branches over
+    // the prep persist into the merge stage, doubling that stage's
+    // scans of (and cold-cache races over) the NER-heavy prep frame.
+    // concat preserves the union multiset — the merge sweep re-orders
+    // by (start, end, type, source) either way.
+    val mentions = prep
+      .select(explode(concat(col("trie"), col("regex"))).as("m"))
+      .select("m.*").as[graft.core.Mention]
+    val merged = MergeAnnsets.merge(spark, Seq(mentions))
 
     // ONE registry aggregate serves both the linker's broadcast-or-salt
     // gate (row count) and the new-entity id base (max id) — separate

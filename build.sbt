@@ -43,17 +43,30 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // benching cares about. Do NOT pre-commit the full heap (-Xms=Xmx
   // measured 12x WORSE GC here — the sandbox hypervisor overcommits
   // memory and first-touch of tens of GB lands in the GC pauses).
-  // A FIXED young gen (quarter of heap, capped 6g) beats adaptive
-  // sizing under 32 allocating task threads: GC fell 409 -> 84 core-s
-  // on the profiled pipeline run.
+  // A FIXED young gen (quarter of heap, capped — see graftYoungGen)
+  // beats adaptive sizing under 32 allocating task threads: GC fell
+  // 409 -> 84 core-s on the profiled pipeline run.
 ) ++ graftGcOpts ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))
 
 // SPARK_GRAFT_GC=parallel (default) | g1 — A/B-able without editing here.
+// r6: committed-heap hygiene for the overcommitting hypervisor. With a
+// large -Xmx (e.g. SPARK_DRIVER_MEM=32g) ParallelGC's adaptive policy
+// GROWS the heap instead of collecting (GCTimeRatio default 99 = "spend
+// <1% in GC"), so the JVM marches through tens of GB of FIRST-TOUCH
+// pages — and this sandbox's hypervisor supplies fresh pages at only
+// ~0.03-1 GB/s (the documented fault-collapse, probed by Bench). The
+// same 28-query sf0.1 pass measured 132 s at -Xmx32g vs 54 s at -Xmx8g
+// with identical code; capping the young gen at 2g and telling the
+// collector to prefer collection over expansion (GCTimeRatio=9,
+// MaxHeapFreeRatio=30) brought the 32g pass to 79 s. The working set is
+// what it is — heap beyond it is pure page-fault liability here. All
+// flags remain overridable via SPARK_GRAFT_JVM_OPTS (appended last).
 def graftGcOpts: Seq[String] =
   sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") match {
     case "g1" => Seq("-XX:+UseG1GC")
     case _ => Seq("-XX:+UseParallelGC",
-      s"-XX:NewSize=${graftYoungGen}", s"-XX:MaxNewSize=${graftYoungGen}")
+      s"-XX:NewSize=${graftYoungGen}", s"-XX:MaxNewSize=${graftYoungGen}",
+      "-XX:GCTimeRatio=9", "-XX:MaxHeapFreeRatio=30", "-XX:MinHeapFreeRatio=10")
   }
 
 def graftYoungGen: String = {
@@ -65,6 +78,10 @@ def graftYoungGen: String = {
       if (raw.endsWith("m")) raw.stripSuffix("m").trim.toDouble / 1024
       else raw.stripSuffix("g").trim.toDouble
     } catch { case _: NumberFormatException => 8.0 }
-  val younGb = math.max(1, math.min(6, (memGb / 4).toInt))
+  // cap 2g (was 6g): eden is first-touched in full before the first
+  // young GC, and 6g of fresh pages at the degraded fault rates this
+  // host hits mid-run costs tens of seconds (measured: the young-gen
+  // cap alone recovered most of the 32g-heap pass regression)
+  val younGb = math.max(1, math.min(2, (memGb / 4).toInt))
   s"${younGb}g"
 }

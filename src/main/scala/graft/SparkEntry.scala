@@ -976,7 +976,8 @@ object SparkEntry {
     "q29_path2" -> ((s, dir) => {
       val seeds = part(s, dir).filter(col("p_size") === 25)
         .select(col("p_partkey").as("vertex"))
-      graft.ops.Graph.twoHopFromSeeds(coEdges(s, dir), broadcast(seeds))
+      graft.ops.Graph.twoHopFromSeeds(coEdges(s, dir), broadcast(seeds),
+        edgesMaterialized = true)
     }),
 
     // ---- fixed-point PageRank (iterative DataFrame joins) ---------------
@@ -984,7 +985,8 @@ object SparkEntry {
     // arithmetic: exact associative long sums make the distributed result
     // bit-identical to the unrolled SQL oracle regardless of shuffle order.
     "q30_pagerank" -> ((s, dir) =>
-      graft.ops.Graph.pageRank(coEdges(s, dir), iterations = 5)),
+      graft.ops.Graph.pageRank(coEdges(s, dir), iterations = 5,
+        edgesMaterialized = true)),
 
     // ---- skyline / Pareto frontier (two-phase) -----------------------------
     // Orders that are Pareto-optimal on (price low, date recent), over
@@ -1168,7 +1170,8 @@ object SparkEntry {
     // 2 synchronous rounds over the co-order graph; min-label tie-break
     // makes the iteration deterministic and SQL-unrollable (no RNG).
     "q53_labelprop" -> ((s, dir) =>
-      graft.ops.Graph.labelPropagation(coEdges(s, dir), iterations = 2)),
+      graft.ops.Graph.labelPropagation(coEdges(s, dir), iterations = 2,
+        edgesMaterialized = true)),
 
     // ---- ancestor closure via path doubling --------------------------------
     // Full ancestor chains over the deterministic binary-heap forest
@@ -1267,7 +1270,7 @@ object SparkEntry {
     // a->c; the (degree, id) orientation bounds forward degree so hub
     // vertices cannot blow up the wedge join.
     "q35_triangles" -> ((s, dir) =>
-      graft.ops.Graph.triangleStats(coEdges(s, dir))),
+      graft.ops.Graph.triangleStats(coEdges(s, dir), edgesMaterialized = true)),
 
     // ---- bounded BFS reachability (iterative frontier + visited set) ----
     // Vertices within <=3 hops of each seed: per round only the NEW
@@ -1277,7 +1280,8 @@ object SparkEntry {
     "q39_reach3" -> ((s, dir) => {
       val seeds = part(s, dir).filter(col("p_size") === 25)
         .select(col("p_partkey").as("vertex"))
-      graft.ops.Graph.reachableWithin(coEdges(s, dir), broadcast(seeds), 3)
+      graft.ops.Graph.reachableWithin(coEdges(s, dir), broadcast(seeds), 3,
+        edgesMaterialized = true)
     }),
 
     // ---- entity-graph rank (KG graph-materialize leg) -------------------
@@ -1635,15 +1639,22 @@ object SparkEntry {
     * so the per-order pair blowup is bounded by construction — the same
     * shape as entity co-mention edges per document.
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir).select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk"))
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      .distinct()
-    graft.ops.Graph.symmetrize(pairs)
-  }
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    // memoized + checkpointed like the dedup stage hubs: five graph
+    // queries (q29/q30/q35/q39/q53) derive from the SAME materialized
+    // co-occurrence graph, and each Graph kernel checkpoints its edge
+    // input anyway — memoizing the checkpoint means the lineitem
+    // self-join + distinct runs once per session instead of once per
+    // query (the kernels are told the frame is already materialized).
+    memoStage(s, dir, "co_edges") {
+      val li = lineitem(s, dir).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+      graft.ops.Graph.symmetrize(pairs)
+    }
 
   /** DuckDB CTE block materializing the same co-occurrence graph. */
   private val coEdgeCtes: String =

@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Row cap under which frontier/rank side tables are broadcast (and,
+    * for PageRank, iterated as a driver-resident vector): ~2M rows of
+    * (long, long) is tens of MB — the same executor-fit reasoning as
+    * Linker.broadcastMaxRows. Above the cap every kernel falls back to
+    * the shuffle formulation unchanged. Overridable for tests.
+    */
+  def broadcastMaxRows: Long =
+    sys.props.get("graft.graph.broadcastMaxRows").map(_.toLong)
+      .getOrElse(2000000L)
+
   /** Directed edge list from an ordered undirected pair table (a < b). */
   def symmetrize(pairs: DataFrame, a: String = "a", b: String = "b"): DataFrame =
     pairs.select(col(a).as("src"), col(b).as("dst"))
@@ -44,23 +54,35 @@ object Graph {
     * anti-join, one final hash aggregation. The frontier frames stay
     * proportional to the seed neighborhood, never to |V|.
     */
-  def twoHopFromSeeds(edges: DataFrame, seeds: DataFrame): DataFrame = {
+  def twoHopFromSeeds(edges: DataFrame, seeds: DataFrame,
+                      edgesMaterialized: Boolean = false): DataFrame = {
     // edges feeds two joins and hop1 feeds two consumers — materialize at
     // the stage boundary or every branch re-derives the whole edge list
-    // (CLAUDE.md multi-branch invariant)
-    val e = edges.localCheckpoint(true)
+    // (CLAUDE.md multi-branch invariant); callers that pass an already-
+    // checkpointed edge frame skip the second materialization
+    val e = if (edgesMaterialized) edges else edges.localCheckpoint(true)
     val hop1 = seeds.join(e, seeds("vertex") === e("src"))
       .select(seeds("vertex"), col("dst").as("mid"))
       .localCheckpoint(true)
-    val hop2 = hop1
-      .join(e.select(col("src").as("mid"), col("dst").as("nbr2")), "mid")
+    // hop1 is frontier-sized (|seeds| x avg-degree), the 2-hop frame is
+    // frontier x degree^2 — orders bigger. Under the broadcast cap both
+    // hop1 joins go map-side, so the big frame never crosses an
+    // exchange, and the distinct + anti-join + count collapse into one
+    // anti-join (on the raw multiset — anti drops every copy of a
+    // direct-neighbor pair, so the surviving multiset has the same
+    // distinct set) + one count_distinct aggregate: 5 exchanges -> 2,
+    // both SortMergeJoins -> BroadcastHashJoins. hop1 is already
+    // materialized, so the gate count is a cheap block-count job.
+    val h1b =
+      if (hop1.count() <= broadcastMaxRows) (df: DataFrame) => broadcast(df)
+      else identity[DataFrame] _
+    val hop2 = e.select(col("src").as("mid"), col("dst").as("nbr2"))
+      .join(h1b(hop1), Seq("mid"))
       .filter(col("nbr2") =!= col("vertex"))
-      .select("vertex", "nbr2")
-      .distinct()
-    hop2.join(hop1.select(col("vertex"), col("mid").as("nbr2")),
+    hop2.join(h1b(hop1.select(col("vertex"), col("mid").as("nbr2"))),
         Seq("vertex", "nbr2"), "left_anti")
       .groupBy("vertex")
-      .agg(count(lit(1)).as("n_2hop"))
+      .agg(count_distinct(col("nbr2")).as("n_2hop"))
   }
 
   /** Per-seed count of vertices reachable within `k` hops (seed included)
@@ -69,8 +91,9 @@ object Graph {
     * stop costing joins; both frames checkpoint per round (CLAUDE.md
     * iterative invariant).
     */
-  def reachableWithin(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
-    val e = edges.localCheckpoint(true)
+  def reachableWithin(edges: DataFrame, seeds: DataFrame, k: Int,
+                      edgesMaterialized: Boolean = false): DataFrame = {
+    val e = if (edgesMaterialized) edges else edges.localCheckpoint(true)
     var reach = seeds.select(col("vertex").as("seed"), col("vertex"))
       .localCheckpoint(true)
     var frontier = reach
@@ -94,8 +117,9 @@ object Graph {
     * skewed graphs — the standard trick that keeps the wedge join from
     * going quadratic on hub vertices.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint(true)
+  def triangleStats(edges: DataFrame,
+                    edgesMaterialized: Boolean = false): DataFrame = {
+    val e = if (edgesMaterialized) edges else edges.localCheckpoint(true)
     val deg = e.groupBy(col("src").as("v"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
@@ -128,19 +152,79 @@ object Graph {
     * (vertex, pr_int) where pr ≈ pr_int / scale.
     */
   def pageRank(edges: DataFrame, iterations: Int,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               edgesMaterialized: Boolean = false): DataFrame = {
     // the edge list is read every iteration — materialize it once instead
     // of re-deriving the upstream (self-join + distinct) per iteration
-    val e = edges.localCheckpoint(true)
-    val verts = e.select(col("src").as("vertex"))
-      .unionAll(e.select(col("dst").as("vertex")))
-      .distinct()
-      .join(outDegrees(e), Seq("vertex"), "left")
-      .na.fill(0L, Seq("outdeg"))
-      .localCheckpoint(true)
+    val e = if (edgesMaterialized) edges else edges.localCheckpoint(true)
+    // (vertex, outdeg) in ONE aggregate over both edge endpoints (src
+    // occurrences count 1, dst occurrences 0) — equivalent to the
+    // distinct ∪ left-join-outdegree ∪ fill(0) chain it replaces (a
+    // dst-only vertex sums to 0) with one exchange instead of three.
+    val vertsPlan = e.select(col("src").as("vertex"), lit(1L).as("one"))
+      .unionAll(e.select(col("dst").as("vertex"), lit(0L).as("one")))
+      .groupBy("vertex").agg(sum(col("one")).as("outdeg"))
+    // take(cap + 1) both gates the path and feeds the local one — the
+    // same one-job pattern as NilCluster's surface take
+    val head =
+      if (broadcastMaxRows < Int.MaxValue - 1)
+        vertsPlan.take(broadcastMaxRows.toInt + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    val isLocal = head.nonEmpty && head.length <= broadcastMaxRows
+
+    if (isLocal) {
+      val n = head.length.toLong
+      val base = (15L * scale / 100L) / n
+      // Rank-vector path: the rank table is |V| rows of (vertex, long) —
+      // under the broadcast cap it lives as a driver-local array (same
+      // guarded-driver-materialization discipline as Pipeline's cluster
+      // heads) and each iteration is ONE job: a map-side broadcast join
+      // of the per-source contribution onto the static edge checkpoint
+      // plus a partial/final sum by dst. The edge list never shuffles and
+      // nothing is re-checkpointed per iteration — the shuffle loop below
+      // paid 3 exchanges + a checkpoint barrier per iteration for frames
+      // that are vertex-sized. Long arithmetic identical (floorDiv on
+      // non-negative operands == SQL `div`), so ranks are bit-equal.
+      val spark = edges.sparkSession
+      val vtype = vertsPlan.schema("vertex").dataType
+      val order = head.map(_.get(0))
+      val outdeg = head.map(r => r.get(0) -> r.getLong(1)).toMap
+      var pr: Map[Any, Long] = order.iterator.map(_ -> scale / n).toMap
+      val cSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", vtype, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      for (_ <- 1 to iterations) {
+        val contribs = order.iterator
+          .filter(v => outdeg(v) > 0L)
+          .map(v => org.apache.spark.sql.Row(v, Math.floorDiv(pr(v), outdeg(v))))
+          .toSeq
+        val cDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(contribs).asJava), cSchema)
+        val sums = e.join(broadcast(cDf), Seq("src"))
+          .groupBy(col("dst").as("vertex"))
+          .agg(sum(col("c")).as("m"))
+          .collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+        pr = order.iterator.map(v =>
+          v -> (base + Math.floorDiv(85L * sums.getOrElse(v, 0L), 100L))).toMap
+      }
+      val outRows = order.map(v => org.apache.spark.sql.Row(v, pr(v)))
+      val oSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vertex", vtype, nullable = false),
+        org.apache.spark.sql.types.StructField("pr_int",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(outRows.toSeq).asJava),
+        oSchema)
+    }
+
+    // distributed fallback (vertex set above the broadcast cap)
+    val verts = vertsPlan.localCheckpoint(true)
     val n = verts.count()
     val base = (15L * scale / 100L) / n
-
     var pr = verts.withColumn("pr", lit(scale / n))
     for (_ <- 1 to iterations) {
       val sums = e
@@ -198,8 +282,9 @@ object Graph {
     * by degree); localCheckpoint per iteration per the iterative-
     * algorithm invariant. Output: (vertex, label).
     */
-  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
-    val e = edges.localCheckpoint(true)
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       edgesMaterialized: Boolean = false): DataFrame = {
+    val e = if (edgesMaterialized) edges else edges.localCheckpoint(true)
     var labels = e.select(col("src").as("vertex"))
       .unionAll(e.select(col("dst").as("vertex")))
       .distinct()

@@ -102,4 +102,23 @@ class GraphSpec extends SparkTestBase {
     assert(rows.toSet === Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
       (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L)))
   }
+
+  test("pageRank/twoHop: broadcast path == shuffle fallback (r6 gate)") {
+    // the r6 rank-vector and broadcast-hop1 paths must be bit-identical
+    // to the shuffle formulations they shortcut; force the fallback via
+    // the size-gate property and compare on the fixture graph
+    val edges = Graph.symmetrize(pairs)
+    val seeds = Seq(1L, 4L).toDF("vertex")
+    val prLocal = Graph.pageRank(edges, 5).as[(Long, Long)].collect().toMap
+    val hopLocal = Graph.twoHopFromSeeds(edges, seeds)
+      .as[(Long, Long)].collect().toMap
+    System.setProperty("graft.graph.broadcastMaxRows", "0")
+    try {
+      val prDist = Graph.pageRank(edges, 5).as[(Long, Long)].collect().toMap
+      val hopDist = Graph.twoHopFromSeeds(edges, seeds)
+        .as[(Long, Long)].collect().toMap
+      assert(prDist === prLocal)
+      assert(hopDist === hopLocal)
+    } finally System.clearProperty("graft.graph.broadcastMaxRows")
+  }
 }

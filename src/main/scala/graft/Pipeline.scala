@@ -55,7 +55,8 @@ object Pipeline {
     * snapshot. Pure function of (docs, registry) — the incremental loop
     * feeds back the grown registry (see [[Incremental]]).
     */
-  def run(spark: SparkSession, docs: Dataset[InputDoc], registry: DataFrame): Result = {
+  def run(spark: SparkSession, docs: Dataset[InputDoc], registry: DataFrame,
+          regStats: Option[(Long, Long)] = None): Result = {
     // dev-only sub-phase timer (same env as Bench's phase output)
     val verbose = sys.env.get("SPARK_GRAFT_PHASES").contains("1")
     def ph[T](name: String)(f: => T): T = {
@@ -105,6 +106,11 @@ object Pipeline {
     if (sys.env.get("SPARK_GRAFT_PREP_EAGER").contains("1") ||
         sys.props.get("graft.prep.eager").contains("1"))
       ph("prep.eager")(prep.count())
+    // (r6 A/B, rejected: deriving text from the docs dataset instead of
+    // the prep persist avoids the cold-persist race but re-pays the
+    // InputDoc Kryo deserialize per doc — measured neutral-to-worse at
+    // sf0.1, 14.3/16.3 s vs 13.7/14.0 s; the lazy-prep race stays the
+    // cheaper evil, as the 440k A/B above already concluded.)
     val text = prep.select(col("doc_id"), col("text"))
 
     // ONE explode over the concatenated annsets instead of a
@@ -121,10 +127,14 @@ object Pipeline {
     // ONE registry aggregate serves both the linker's broadcast-or-salt
     // gate (row count) and the new-entity id base (max id) — separate
     // jobs otherwise, and per-job latency is the serial fraction that
-    // Amdahl-caps small-batch scaling.
-    val regAgg = ph("regAgg")(registry.agg(max(col("id")), count(lit(1))).collect()(0))
-    val base = regAgg.getLong(0)
-    val regRows = regAgg.getLong(1)
+    // Amdahl-caps small-batch scaling. Callers that know the registry
+    // statically (runCached's gazetteer seed) pass (max id, rows) in and
+    // skip the job entirely (r6).
+    val (base, regRows) = regStats.getOrElse {
+      val regAgg = ph("regAgg")(
+        registry.agg(max(col("id")), count(lit(1))).collect()(0))
+      (regAgg.getLong(0), regAgg.getLong(1))
+    }
 
     // localCheckpoint truncates the lineage: the triple-rule union
     // references this frame 5x and planning cost explodes otherwise.
@@ -238,14 +248,22 @@ object Pipeline {
       .filter(col("name").isNotNull)
       .transform(df => ph("ckpt.resolved")(Ckpt(df)))
 
-    // :mentions / :typedAs / :sameAsCluster in ONE scan of the resolved
-    // checkpoint + ONE distinct. A localCheckpoint is a row store — every
-    // scan deserializes FULL rows (no column pruning) — so the previous
-    // three separate projection+distinct branches paid three full
-    // deserialize passes (measured GC-bound at 240k docs). The fused
-    // distinct is equivalent because the three triple kinds carry
-    // distinct `pred` constants: distinct(union) = union(distincts).
-    val projT = resolved.select(col("doc_id"), explode(concat(
+    // :mentions / :typedAs / :sameAsCluster / :coOccursWith in ONE scan
+    // of the resolved checkpoint + ONE distinct (r6 fuses the adjacency
+    // triples in too). A localCheckpoint is a row store — every scan
+    // deserializes FULL rows (no column pruning) — so the previous shape
+    // (projection branch + separate window branch, each with its own
+    // distinct) paid two full deserialize passes and three exchanges.
+    // Here the doc-partitioned lead() window runs first and every triple
+    // kind explodes off the windowed rows: one ckpt scan, one window
+    // exchange, one distinct exchange. The fused distinct is equivalent
+    // because the four triple kinds carry distinct `pred` constants:
+    // distinct(union) = union(distincts).
+    val emptyT = array().cast("array<struct<subj:string,pred:string,obj:string>>")
+    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val fusedT = resolved
+      .withColumn("next_name", lead(col("name"), 1).over(wAdj))
+      .select(col("doc_id"), explode(concat(
         array(
           struct(concat(lit("doc:"), col("doc_id")).as("subj"),
             lit(":mentions").as("pred"), col("name").as("obj")),
@@ -255,20 +273,15 @@ object Pipeline {
           struct(col("nil_name").as("subj"),
             lit(":sameAsCluster").as("pred"),
             concat(lit("NIL"), col("nil_id")).as("obj"))))
-          .otherwise(array().cast("array<struct<subj:string,pred:string,obj:string>>"))
+          .otherwise(emptyT),
+        when(col("next_name").isNotNull && col("next_name") =!= col("name"),
+          array(
+            struct(least(col("name"), col("next_name")).as("subj"),
+              lit(":coOccursWith").as("pred"),
+              greatest(col("name"), col("next_name")).as("obj"))))
+          .otherwise(emptyT)
       )).as("t"))
       .select(col("doc_id"), col("t.subj"), col("t.pred"), col("t.obj"))
-      .distinct()
-
-    val wAdj = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val coT = resolved
-      .withColumn("next_name", lead(col("name"), 1).over(wAdj))
-      .filter(col("next_name").isNotNull && col("next_name") =!= col("name"))
-      .select(
-        col("doc_id"),
-        least(col("name"), col("next_name")).as("subj"),
-        lit(":coOccursWith").as("pred"),
-        greatest(col("name"), col("next_name")).as("obj"))
       .distinct()
 
     // media spans come from the prep frame (one-pass rule), not a
@@ -281,7 +294,7 @@ object Pipeline {
         lit(":hasMedia").as("pred"),
         col("mr.media_ref").as("obj"))
 
-    val triples = projT.unionByName(coT).unionByName(mediaT)
+    val triples = fusedT.unionByName(mediaT)
 
     // J9: pseudo-cluster records for NOT-NIL mentions, grouped by url
     // (reference nilcluster/main.py:124-161): title from the linked
@@ -325,7 +338,11 @@ object Pipeline {
       // this a cheap no-op-shaped round-robin.
       val parts = spark.sparkContext.defaultParallelism * 2
       val docs = Corpus.inputDocs(spark, dir).repartition(parts)
-      run(spark, docs, Registry.seed(spark).toDF())
+      // the seed registry derives from the static gazetteer: its max id
+      // and row count are driver-known, so the regAgg job is skipped
+      val ents = graft.fixtures.Gazetteer.entities
+      run(spark, docs, Registry.seed(spark).toDF(),
+        regStats = Some((ents.map(_.id).max, ents.size.toLong)))
     })
   }
 

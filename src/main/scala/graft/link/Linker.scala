@@ -341,8 +341,15 @@ object Linker {
         .persist(graft.Ckpt.storage)
 
     // skip-path: dictionary-resolved or DATE mentions bypass scoring
-    // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54)
+    // (reference linking.skip, TrieNER.py:79-81 / spacyner/main.py:51-54).
+    // The wide columns (64-float embedding + contexts) are dead past the
+    // candidate join — project them out BEFORE the skip/linked frames
+    // enter the union + feats join + hydrate exchanges (guide §2.3:
+    // project before the exchange); only `candidates` below consumes
+    // them, straight off the persisted frame.
+    val wideCols = Seq("m_emb", "ctx_left", "ctx_right")
     val skipPath = allDf.filter(col("skip"))
+      .drop(wideCols: _*)
       .withColumn("entity_id", col("gazetteer_id"))
       .withColumn("bi_score", lit(1.0))
       .withColumn("nil_score", lit(1.0))
@@ -401,6 +408,7 @@ object Linker {
       lit(NilWeights(6)) * col("sc_stdev") + lit(NilBias)
 
     val linkedPath = linkable
+      .drop(wideCols: _*)
       .join(feats, Seq("doc_id", "annset", "ann_id"), "left")
       .withColumn("nil_score",
         when(col("top_entity_id").isNull, lit(0.0)) // P8: no candidates
@@ -436,12 +444,12 @@ object Linker {
             concat(lit("TRIE"), col("entity_id")))
           .when(col("entity_id") >= 0, concat(lit("kb://ent/"), col("entity_id")))
           .otherwise(lit("")))
-      // drop the wide columns (64-float embedding + context windows):
-      // the caller localCheckpoints this frame, and a checkpoint is a
+      // wide columns were already dropped before the union (above); the
+      // caller localCheckpoints this frame, and a checkpoint is a
       // pruning barrier — anything kept here is carried through every
       // downstream shuffle (measured: scaling collapses to memory
       // bandwidth with m_emb retained)
-      .drop("ent_title", "ent_type", "m_emb", "ctx_left", "ctx_right")
+      .drop("ent_title", "ent_type")
     (linked, candLists)
   }
 

@@ -271,7 +271,19 @@ object Dedup {
   private def verifyJaccard(shRaw: DataFrame, cands: DataFrame,
                             threshold: Double): DataFrame = {
     val sh = hashedShingles(shRaw)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    verifyJaccardHashed(sh, sh.groupBy("doc_id").agg(count(lit(1)).as("nsh")),
+      cands, threshold)
+  }
+
+  /** [[verifyJaccard]] over pre-hashed shingles + precomputed doc sizes —
+    * lets prefixJaccardPairs share ONE hashed frame and ONE sizes
+    * aggregate between candidate generation and verification (identical
+    * subtrees previously re-derived on each side; AQE exchange reuse only
+    * caught some of them).
+    */
+  private def verifyJaccardHashed(sh: DataFrame, sizes: DataFrame,
+                                  cands: DataFrame,
+                                  threshold: Double): DataFrame = {
     val shared = cands.join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
@@ -337,8 +349,18 @@ object Dedup {
     // lossless under ANY fixed total order of shingles, so ordering by
     // (df, hash) instead of (df, string) keeps exact recall
     val sh = hashedShingles(shRaw)
+    prefixCandidatesHashed(sh,
+      sh.groupBy("doc_id").agg(count(lit(1)).as("nsh")), threshold)
+  }
+
+  private def prefixCandidatesHashed(sh: DataFrame, sizes: DataFrame,
+                                     threshold: Double): DataFrame = {
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    // the prefix frame feeds both sides of its self-join as the SAME
+    // plan subtree (shared sh/sizes objects), so AQE exchange reuse
+    // dedups the df-join + window chain at runtime (an explicit Ckpt
+    // here A/B-measured slightly WORSE — the barrier costs more than
+    // the reuse gamble at bench scale)
     val prefix = sh.join(df, Seq("shingle"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
@@ -359,8 +381,12 @@ object Dedup {
     * Jaccard over FULL shingle sets with provably complete recall — the
     * preferred shipping path.
     */
-  def prefixJaccardPairs(sh: DataFrame, threshold: Double): DataFrame =
-    verifyJaccard(sh, prefixCandidates(sh, threshold), threshold)
+  def prefixJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val sh = hashedShingles(shRaw)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    verifyJaccardHashed(sh, sizes,
+      prefixCandidatesHashed(sh, sizes, threshold), threshold)
+  }
 
   /** Per-shingle 64-bit projection = the first 16 hex nibbles of
     * md5(shingle). md5 is available bit-identically in Spark AND DuckDB,

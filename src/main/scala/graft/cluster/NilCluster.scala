@@ -507,9 +507,8 @@ object NilCluster {
     val withKey = counts.join(
       if (isLocal) broadcast(surfKey) else surfKey, Seq("surface"))
     val agg = withKey.groupBy(col("cluster_key"))
-      .agg(clusterAggUdf(collect_list(struct(
-        col("surface"), col("mention"), col("mention_type"), col("cnt"))))
-        .as("m"))
+      .agg(clusterAggUdaf(col("surface"), col("mention"),
+        col("mention_type"), col("cnt")).as("m"))
       .select(col("cluster_key"), col("m._1").as("title"),
         col("m._2").as("cluster_type"), col("m._3").as("nelements"),
         col("m._4").as("n_surfaces"))
@@ -532,9 +531,14 @@ object NilCluster {
     * cnt) rows: (title, cluster_type, nelements, n_surfaces). Mode
     * tie-break = (count desc, value asc) in UTF-8 BYTE order — identical
     * to the `orderBy(cnt.desc, value.asc)` window it replaces, because
-    * Spark's UTF8String comparison is unsigned byte-wise.
+    * Spark's UTF8String comparison is unsigned byte-wise. A null value
+    * sorts FIRST (smallest), matching Spark's nulls-first ascending
+    * ordering (ADVICE r5: the previous UDF NPEd on null mention/type,
+    * which the window it replaced tolerated).
     */
   private def utf8Less(a: String, b: String): Boolean = {
+    if (a == null) return b != null // null < any non-null; null == null
+    if (b == null) return false
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -556,18 +560,60 @@ object NilCluster {
     best
   }
 
-  private val clusterAggUdf =
-    udf((xs: Seq[(String, String, String, Long)]) => {
-      val byMention = scala.collection.mutable.HashMap.empty[String, Long]
-      val byType = scala.collection.mutable.HashMap.empty[String, Long]
-      val surfaces = scala.collection.mutable.HashSet.empty[String]
-      var n = 0L
-      xs.foreach { case (s, mn, t, c) =>
-        byMention(mn) = byMention.getOrElse(mn, 0L) + c
-        byType(t) = byType.getOrElse(t, 0L) + c
-        surfaces += s
-        n += c
-      }
-      (weightedMode(byMention), weightedMode(byType), n, surfaces.size.toLong)
-    })
+  /** Mutable buffer of the typed cluster aggregate (Kryo-encoded between
+    * partial and merge phases).
+    */
+  final case class ClusterAggBuf(
+      byMention: scala.collection.mutable.HashMap[String, Long],
+      byType: scala.collection.mutable.HashMap[String, Long],
+      surfaces: scala.collection.mutable.HashSet[String],
+      var n: Long)
+
+  /** Typed map-side-combining Aggregator replacing the r5
+    * collect_list + UDF shape (VERDICT r5 #5): the per-cluster
+    * vocabulary never materializes as one array — partial buffers hold
+    * (value -> count) maps that merge associatively, so the plan is a
+    * partial/final ObjectHashAggregate like every other aggregate here.
+    * Mode/tie-break semantics identical (weightedMode at finish; counts
+    * sum associatively, so the result is independent of merge order).
+    */
+  private val clusterAgg = new org.apache.spark.sql.expressions.Aggregator[
+      (String, String, String, Long), ClusterAggBuf,
+      (String, String, Long, Long)] {
+    def zero: ClusterAggBuf = ClusterAggBuf(
+      scala.collection.mutable.HashMap.empty,
+      scala.collection.mutable.HashMap.empty,
+      scala.collection.mutable.HashSet.empty, 0L)
+    def reduce(b: ClusterAggBuf, x: (String, String, String, Long)): ClusterAggBuf = {
+      val (s, mn, t, c) = x
+      b.byMention(mn) = b.byMention.getOrElse(mn, 0L) + c
+      b.byType(t) = b.byType.getOrElse(t, 0L) + c
+      b.surfaces += s
+      b.n += c
+      b
+    }
+    def merge(a: ClusterAggBuf, b: ClusterAggBuf): ClusterAggBuf = {
+      b.byMention.foreach { case (k, v) =>
+        a.byMention(k) = a.byMention.getOrElse(k, 0L) + v }
+      b.byType.foreach { case (k, v) =>
+        a.byType(k) = a.byType.getOrElse(k, 0L) + v }
+      a.surfaces ++= b.surfaces
+      a.n += b.n
+      a
+    }
+    def finish(b: ClusterAggBuf): (String, String, Long, Long) =
+      (weightedMode(b.byMention), weightedMode(b.byType), b.n,
+        b.surfaces.size.toLong)
+    def bufferEncoder: org.apache.spark.sql.Encoder[ClusterAggBuf] =
+      org.apache.spark.sql.Encoders.kryo[ClusterAggBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[(String, String, Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+  }
+
+  private lazy val clusterAggUdaf =
+    org.apache.spark.sql.functions.udaf(clusterAgg)
 }

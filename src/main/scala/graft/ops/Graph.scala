@@ -258,6 +258,10 @@ object Graph {
   def transitiveClosure(edges: DataFrame, rounds: Int): DataFrame = {
     var r = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
+    // (r6 A/B, rejected: a fixpoint early-exit — stop when the row count
+    // stops growing — measured WORSE: the per-round count over the
+    // checkpoint is a full block scan, and 6 counts cost more than the
+    // one join+distinct round they save at bench scale.)
     for (_ <- 1 to rounds) {
       val hop = r.as("x")
         .join(r.as("y"), col("x.dst") === col("y.src"))

@@ -153,4 +153,33 @@ class NilClusterSpec extends SparkTestBase {
     assert(fk.getAs[Long]("nelements") == 3)
     assert(asg.count() == 4)
   }
+
+  test("typed cluster aggregate: partial-merge invariant and null tolerance (r6)") {
+    // r6 replaced the collect_list+UDF cluster record aggregate with a
+    // map-side-combining Aggregator: the record must be identical under
+    // any partitioning (partial buffers merge in arbitrary order), and a
+    // null mention_type must behave like the nulls-first ascending window
+    // ordering the r5 UDF replaced (ADVICE r5: it NPEd before)
+    val rows = Seq(
+      ("d1", "m", 1, "Acme Co", "ORG"),
+      ("d2", "m", 1, "acme co", "ORG"),
+      ("d3", "m", 1, "acme co", null.asInstanceOf[String]),
+      ("d4", "m", 1, "Acme Co", "ORG"))
+    val df1 = rows.toDF("doc_id", "annset", "ann_id", "mention", "mention_type")
+    val df8 = df1.repartition(8)
+    val c1 = NilCluster.clusterFull(spark, df1).clusters.collect()
+    val c8 = NilCluster.clusterFull(spark, df8).clusters.collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("cluster_key"), r.getAs[String]("title"),
+        r.getAs[String]("cluster_type"), r.getAs[Long]("nelements"),
+        r.getAs[Long]("n_surfaces"))
+    assert(c1.map(key).sortBy(_.toString).toSeq ===
+      c8.map(key).sortBy(_.toString).toSeq)
+    // 2x "Acme Co" vs 2x "acme co": count tie -> byte-order asc picks "Acme Co";
+    // types: 3x ORG beats 1x null
+    val r = c1.head
+    assert(r.getAs[String]("title") == "Acme Co")
+    assert(r.getAs[String]("cluster_type") == "ORG")
+    assert(r.getAs[Long]("nelements") == 4)
+  }
 }

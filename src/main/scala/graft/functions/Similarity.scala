@@ -14,14 +14,54 @@ object Similarity {
 
   /** Token-set Jaccard on lowercase whitespace tokens
     * (reference: nilpredictor/main.py:15,167-172, qval=None => word tokens).
+    *
+    * r6: hand-rolled tokenizer + small-array set ops. The previous
+    * `split("\\s+").toSet` shape compiled a regex Pattern per call (twice)
+    * and allocated two HashSets per pair — sampled at ~7% of the whole
+    * pipeline's task CPU (it runs once per surviving candidate). Java's
+    * `\s` is exactly [ \t\n\x0B\f\r], so the scan below produces the
+    * identical token set; the pairwise loops are over a handful of tokens.
     */
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Distinct lowercased whitespace-delimited tokens, in first-seen order. */
+  private def distinctTokens(s: String): Array[String] = {
+    val lower = s.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[String](4)
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && isRegexWs(lower.charAt(i))) i += 1
+      val st = i
+      while (i < n && !isRegexWs(lower.charAt(i))) i += 1
+      if (i > st) {
+        val t = lower.substring(st, i)
+        var k = 0
+        var dup = false
+        while (k < out.length && !dup) { if (out(k) == t) dup = true; k += 1 }
+        if (!dup) out += t
+      }
+    }
+    out.toArray
+  }
+
   def jaccardTokens(a: String, b: String): Double = {
-    val sa = a.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
-    val sb = b.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
-    if (sa.isEmpty && sb.isEmpty) 1.0
+    val ta = distinctTokens(a)
+    val tb = distinctTokens(b)
+    if (ta.isEmpty && tb.isEmpty) 1.0
     else {
-      val u = (sa ++ sb).size
-      if (u == 0) 0.0 else (sa & sb).size.toDouble / u
+      var inter = 0
+      var i = 0
+      while (i < ta.length) {
+        var j = 0
+        var found = false
+        while (j < tb.length && !found) { if (ta(i) == tb(j)) found = true; j += 1 }
+        if (found) inter += 1
+        i += 1
+      }
+      val u = ta.length + tb.length - inter
+      if (u == 0) 0.0 else inter.toDouble / u
     }
   }
 

@@ -242,6 +242,11 @@ object Linker {
     // identical results. bi_score/norms stay pre-exchange as before
     // (cheap dots, and keeping them narrow-only is the r4 exchange
     // discipline).
+    // (r6 A/B, rejected: repartitioning by the mention key so dedup +
+    // top-k window share ONE exchange measured ~20% WORSE on the linker
+    // phase — the single exchange must carry the shared-token duplicate
+    // rows raw, and dropDuplicates' map-side partial dedup removes more
+    // bytes than the second exchange costs.)
     val pairs = scored
       .dropDuplicates("doc_id", "annset", "ann_id", "entity_id")
       .withColumn("cross_score",

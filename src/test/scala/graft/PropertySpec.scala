@@ -72,4 +72,27 @@ class PropertySpec extends SparkTestBase {
       j >= 0.0 && j <= 1.0 && ((j == 1.0) == (sa == sb))
     })
   }
+
+  test("jaccardTokens == regex/Set reference formula (r6 tokenizer property)") {
+    // r6 replaced split("\\s+").toSet with a hand scan; pin bit-equality
+    // against the original formula over strings with mixed whitespace
+    // (every char class Java's \s matches), case, duplicates and empties
+    val wsGen = Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val tokGen = Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n + 1, Gen.oneOf(Gen.alphaChar, Gen.const('X'), Gen.const('é'))))
+      .map(_.mkString)
+    val strGen = for {
+      toks <- Gen.listOf(tokGen)
+      seps <- Gen.listOfN(toks.length + 1, Gen.listOf(wsGen).map(_.mkString))
+    } yield seps.zipAll(toks, "", "").flatMap { case (w, t) => Seq(w, t) }.mkString
+    def ref(a: String, b: String): Double = {
+      val sa = a.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      val sb = b.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else { val u = (sa ++ sb).size; if (u == 0) 0.0 else (sa & sb).size.toDouble / u }
+    }
+    check(Prop.forAll(strGen, strGen) { (a, b) =>
+      Similarity.jaccardTokens(a, b) == ref(a, b)
+    })
+  }
 }

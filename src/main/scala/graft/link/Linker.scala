@@ -175,10 +175,15 @@ object Linker {
                  registryRows: Option[Long] = None): DataFrame = {
     import spark.implicits._
 
+    // ltitle computed ONCE per registry row (r6): the lev_sim feature
+    // below otherwise re-lowercases the title per surviving candidate
+    // row — and Spark 4's lower() routes non-ASCII strings through ICU,
+    // sampled at ~8% of pipeline task CPU together with the mention side.
     val regTokens = registry
       .select(col("id").as("entity_id"), col("title"), col("type_"),
         col("emb").as("e_emb"))
-      .withColumn("token", explode(split(lower(col("title")), "\\s+")))
+      .withColumn("ltitle", lower(col("title")))
+      .withColumn("token", explode(split(col("ltitle"), "\\s+")))
 
     // narrow BEFORE the token explode: the join fans each mention out
     // ~3-4x (one row per distinct token), so unused columns multiply —
@@ -188,10 +193,12 @@ object Linker {
       (if (rerank) Seq("ctx_left", "ctx_right") else Nil)
     val mentionTokens = linkable
       .select(mentionCols.map(col): _*)
+      // lmention once per mention row (see ltitle note above)
+      .withColumn("lmention", lower(col("mention")))
       .withColumn("token",
         explode(array_distinct(split(
           // length-preserving cleanup keeps tokens aligned with TrieNer
-          regexp_replace(lower(col("mention")), "[^\\p{L}\\p{N}]+", " "),
+          regexp_replace(col("lmention"), "[^\\p{L}\\p{N}]+", " "),
           "\\s+"))))
       .filter(col("token") =!= "")
 
@@ -228,7 +235,8 @@ object Linker {
       .withColumn("m_norm", Similarity.normCol(col("m_emb")))
       .withColumn("e_norm", Similarity.normCol(col("e_emb")))
       .select(Seq("doc_id", "annset", "ann_id", "entity_id", "title",
-        "type_", "mention", "bi_score", "m_norm", "e_norm").map(col) ++
+        "type_", "mention", "lmention", "ltitle",
+        "bi_score", "m_norm", "e_norm").map(col) ++
         // under rerank the cross-encoder inputs ride to the dedup; the
         // entity embedding is needed again on the far side for the
         // cosine (e_emb is re-kept rather than re-joined — rerank is an
@@ -268,7 +276,7 @@ object Linker {
         col("bi_score") / pow(greatest(col("m_norm"), col("e_norm")), 2))
       .withColumn("jacc", jaccardUdf(col("mention"), col("title")))
       .withColumn("lev_sim",
-        lit(1.0) - levenshtein(lower(col("mention")), lower(col("title"))).cast("double") /
+        lit(1.0) - levenshtein(col("lmention"), col("ltitle")).cast("double") /
           greatest(length(col("mention")), length(col("title")), lit(1)).cast("double"))
       .select("doc_id", "annset", "ann_id", "entity_id", "title", "type_",
         "bi_score", "norm_score", "jacc", "lev_sim", "cross_score", "rank")

@@ -63,6 +63,19 @@ object TrieNer {
       maxTokens: Int): Seq[(Int, Int, String, Seq[Long])] = {
     val cleaned = clean(text)
     val toks = tokenSpans(cleaned)
+    // token strings materialized once (r6): the probe key for a
+    // (position, len) candidate used to be substring(s, e).split(" +")
+    // .mkString(" ") — a regex Pattern compile + split per probe, ~3
+    // probes per token position, sampled at ~7% of pipeline task CPU.
+    // The key equals the token strings joined by single spaces (s..e
+    // spans whole tokens; only inter-token space runs collapse), so
+    // join the precomputed tokens instead — same string, no regex.
+    val tokStrs = new Array[String](toks.length)
+    var k = 0
+    while (k < toks.length) {
+      tokStrs(k) = cleaned.substring(toks(k)._1, toks(k)._2)
+      k += 1
+    }
     val out = Seq.newBuilder[(Int, Int, String, Seq[Long])]
     var i = 0
     while (i < toks.length) {
@@ -71,7 +84,18 @@ object TrieNer {
       while (!matched && len >= 1) {
         val s = toks(i)._1
         val e = toks(i + len - 1)._2
-        val pat = cleaned.substring(s, e).split(" +").mkString(" ")
+        val pat =
+          if (len == 1) tokStrs(i)
+          else {
+            val sb = new java.lang.StringBuilder(e - s)
+            var j = i
+            while (j < i + len) {
+              if (j > i) sb.append(' ')
+              sb.append(tokStrs(j))
+              j += 1
+            }
+            sb.toString
+          }
         patterns.get(pat) match {
           case Some(ids) =>
             out += ((s, e, pat, ids))

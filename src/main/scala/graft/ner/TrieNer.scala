@@ -38,9 +38,12 @@ object TrieNer {
     sb.toString
   }
 
-  /** Token spans (start, endExclusive) over the cleaned text. */
-  def tokenSpans(cleaned: String): Array[(Int, Int)] = {
-    val out = Array.newBuilder[(Int, Int)]
+  /** Token spans (start, endExclusive) over the cleaned text, packed as
+    * (start << 32 | end) longs — r6: the tuple form allocated one boxed
+    * pair per token (~300/doc, every doc, both NER passes).
+    */
+  def tokenSpans(cleaned: String): Array[Long] = {
+    val out = Array.newBuilder[Long]
     var i = 0
     val n = cleaned.length
     while (i < n) {
@@ -48,7 +51,7 @@ object TrieNer {
       if (i < n) {
         val s = i
         while (i < n && cleaned.charAt(i) != ' ') i += 1
-        out += ((s, i))
+        out += (s.toLong << 32) | i.toLong
       }
     }
     out.result()
@@ -73,7 +76,8 @@ object TrieNer {
     val tokStrs = new Array[String](toks.length)
     var k = 0
     while (k < toks.length) {
-      tokStrs(k) = cleaned.substring(toks(k)._1, toks(k)._2)
+      tokStrs(k) = cleaned.substring((toks(k) >>> 32).toInt,
+        (toks(k) & 0xffffffffL).toInt)
       k += 1
     }
     val out = Seq.newBuilder[(Int, Int, String, Seq[Long])]
@@ -82,8 +86,8 @@ object TrieNer {
       var matched = false
       var len = math.min(maxTokens, toks.length - i)
       while (!matched && len >= 1) {
-        val s = toks(i)._1
-        val e = toks(i + len - 1)._2
+        val s = (toks(i) >>> 32).toInt
+        val e = (toks(i + len - 1) & 0xffffffffL).toInt
         val pat =
           if (len == 1) tokStrs(i)
           else {
